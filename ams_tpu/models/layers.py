@@ -1,0 +1,115 @@
+"""Functional NN building blocks with TF1-matching numerics.
+
+These primitives reproduce the op semantics baked into the reference's
+``.meta`` graphs (probed from
+``checkpoints/deeplabv3_mobilenetv2_cityscapes/model.meta``): NHWC convs with
+TF 'SAME' padding, depthwise convs (including the SpaceToBatchND rate-2
+atrous pattern of expanded_conv_14..16, realized here as ``rhs_dilation``),
+and FusedBatchNormV3 with epsilon 1e-3 in both training (batch statistics)
+and inference (moving statistics) modes with decay-0.9 moving averages.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BN_EPS = 1e-3          # FusedBatchNormV3 epsilon in the reference meta graph
+BN_DECAY = 0.9         # AssignMovingAvg decay (meta graph BatchNorm/Const_2)
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _precision_for(x, compute_dtype):
+    """TF1-parity requires full-f32 conv accumulation; JAX's DEFAULT conv
+    precision is reduced (bf16 passes on TPU and CPU).  When the compute
+    dtype is float32 we force HIGHEST; reduced-precision fast paths pass
+    bfloat16 compute_dtype and keep DEFAULT."""
+    dt = compute_dtype or x.dtype
+    return lax.Precision.HIGHEST if dt == jnp.float32 else lax.Precision.DEFAULT
+
+
+def conv2d(x, w, stride=1, rate=1, padding="SAME", *, compute_dtype=None,
+           precision=None):
+    """2-D convolution, NHWC x HWIO -> NHWC, TF 'SAME' semantics.
+
+    ``rate > 1`` implements atrous convolution via rhs_dilation — numerically
+    identical to TF's SpaceToBatchND + VALID conv + BatchToSpaceND expansion
+    (zero padding of rate*(k-1)/2 per side).
+    """
+    if precision is None:
+        precision = _precision_for(x, compute_dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(rate, rate),
+        dimension_numbers=_DIMS,
+        precision=precision,
+    )
+
+
+def depthwise_conv2d(x, w, stride=1, rate=1, padding="SAME", *,
+                     compute_dtype=None, precision=None):
+    """Depthwise conv; ``w`` is TF-layout (kh, kw, C, 1)."""
+    if precision is None:
+        precision = _precision_for(x, compute_dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    c = x.shape[-1]
+    # lax expects HWIO with O = C * channel_multiplier and I = 1 for
+    # feature_group_count=C; TF stores (kh, kw, C, 1).
+    w = jnp.transpose(w, (0, 1, 3, 2)).reshape(w.shape[0], w.shape[1], 1, c)
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(rate, rate),
+        dimension_numbers=_DIMS,
+        feature_group_count=c,
+        precision=precision,
+    )
+
+
+def batch_norm_infer(x, gamma, beta, mean, var, eps=BN_EPS):
+    """Inference batch norm using moving statistics (frozen-graph path)."""
+    dt = x.dtype
+    scale = (gamma * jax.lax.rsqrt(var + eps)).astype(dt)
+    offset = (beta - mean * gamma * jax.lax.rsqrt(var + eps)).astype(dt)
+    return x * scale + offset
+
+
+def batch_norm_train(x, gamma, beta, eps=BN_EPS):
+    """Training batch norm with per-batch statistics over N,H,W.
+
+    Returns (y, batch_mean, batch_var) where batch_var is the *biased*
+    variance used for normalization (FusedBatchNormV3 semantics).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+    var = jnp.maximum(var, 0.0)
+    inv = jax.lax.rsqrt(var + eps) * gamma
+    y = (xf - mean) * inv + beta
+    return y.astype(x.dtype), mean, var
+
+
+def moving_average_update(moving, batch_stat, n_elems, decay=BN_DECAY,
+                          bessel=True):
+    """moving <- moving - (moving - stat) * (1 - decay).
+
+    TF's fused BN feeds the moving-variance update with the Bessel-corrected
+    (unbiased) batch variance; pass ``n_elems`` = N*H*W of the normalized axes.
+    """
+    if bessel and n_elems > 1:
+        batch_stat = batch_stat * (n_elems / (n_elems - 1))
+    return moving - (moving - batch_stat) * (1.0 - decay)
+
+
+def relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0), 6).astype(x.dtype)

@@ -1,0 +1,249 @@
+"""DeeplabV3 + MobileNetV2 student network, functional JAX.
+
+The reference never defines this architecture in Python — it ships inside TF1
+``.meta`` graphs loaded with ``import_meta_graph`` (reference
+``graph_utils.py:350``).  This module re-authors it explicitly, matching the
+op set probed from ``checkpoints/deeplabv3_mobilenetv2_cityscapes/model.meta``:
+
+- input pipeline: pad +1 bottom row / +1 right column with 127.5, then
+  normalize ``x * 2/255 - 1`` (meta nodes concat/concat_1/mul_4/sub_2);
+- MobileNetV2 backbone, output stride 16: first conv stride 2, strided
+  depthwise in expanded_conv_1/3/6, atrous rate 2 in expanded_conv_14..16
+  (SpaceToBatchND pattern), Relu6 activations, residual adds on same-shape
+  stride-1 blocks;
+- DeepLab head: aspp0 1x1 conv + global image_pooling 1x1 conv upsampled
+  (align-corners bilinear), concat, concat_projection 1x1, logits/semantic
+  1x1 (+bias), align-corners bilinear resize back to the ORIGINAL (pre-pad)
+  input size (meta nodes Mean/ResizeBilinear/concat_2/ResizeBilinear_2);
+- FusedBatchNormV3: eps 1e-3, batch statistics when training (the training
+  graph is exported with is_training=True), moving stats for the deployed
+  client model.
+
+Parameters are a flat dict keyed by the exact TF variable names
+(e.g. ``MobilenetV2/expanded_conv_3/project/weights``), so reference
+checkpoints, the .npy dict format, the per-layer mask recipes
+(SemanticNetwork.py:310-653) and the delta wire format all map 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ams_tpu.models import layers
+from ams_tpu.models.resize import resize_bilinear_ac
+
+Params = Dict[str, jax.Array]
+
+# MobileNetV2 inverted-residual stack at output stride 16.
+# (expansion, out_channels, depthwise_stride, atrous_rate); expansion 0 means
+# no expand conv (first block).  Residual add when stride==1, rate covers
+# blocks 14..16 (meta graph SpaceToBatchND with block_shape [2 2]).
+_BLOCKS = [
+    (0, 16, 1, 1),    # expanded_conv
+    (6, 24, 2, 1),    # expanded_conv_1
+    (6, 24, 1, 1),    # expanded_conv_2
+    (6, 32, 2, 1),    # expanded_conv_3
+    (6, 32, 1, 1),    # expanded_conv_4
+    (6, 32, 1, 1),    # expanded_conv_5
+    (6, 64, 2, 1),    # expanded_conv_6
+    (6, 64, 1, 1),    # expanded_conv_7
+    (6, 64, 1, 1),    # expanded_conv_8
+    (6, 64, 1, 1),    # expanded_conv_9
+    (6, 96, 1, 1),    # expanded_conv_10
+    (6, 96, 1, 1),    # expanded_conv_11
+    (6, 96, 1, 1),    # expanded_conv_12
+    (6, 160, 1, 1),   # expanded_conv_13 (stride 1: OS16 variant)
+    (6, 160, 1, 2),   # expanded_conv_14 (atrous)
+    (6, 160, 1, 2),   # expanded_conv_15 (atrous)
+    (6, 320, 1, 2),   # expanded_conv_16 (atrous)
+]
+
+ASPP_DEPTH = 256
+STEM_CHANNELS = 32
+# The DeepLab head (aspp0 / image_pooling / concat_projection) is built with
+# slim's BN epsilon 1.001e-5, while the MobileNetV2 trunk uses 1e-3 (probed
+# from the FusedBatchNormV3 attrs in the reference meta graph).
+HEAD_BN_EPS = 1.001e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class StudentConfig:
+    num_classes: int = 19
+    compute_dtype: jnp.dtype = jnp.float32  # bfloat16 for the fast TPU path
+
+
+def block_names():
+    names = ["MobilenetV2/Conv"]
+    for i in range(len(_BLOCKS)):
+        suffix = "" if i == 0 else "_%d" % i
+        names.append("MobilenetV2/expanded_conv%s" % suffix)
+    return names
+
+
+def init_student_params(rng: jax.Array, num_classes: int = 19) -> Params:
+    """Random params with the exact names/shapes of the reference checkpoint
+    (verified against model.index of deeplabv3_mobilenetv2_cityscapes)."""
+    params: Params = {}
+    keys = iter(jax.random.split(rng, 64))
+
+    def bn(prefix, c):
+        params[prefix + "/BatchNorm/gamma"] = jnp.ones((c,), jnp.float32)
+        params[prefix + "/BatchNorm/beta"] = jnp.zeros((c,), jnp.float32)
+        params[prefix + "/BatchNorm/moving_mean"] = jnp.zeros((c,), jnp.float32)
+        params[prefix + "/BatchNorm/moving_variance"] = jnp.ones((c,), jnp.float32)
+
+    def conv(prefix, kh, kw, cin, cout, depthwise=False):
+        shape = (kh, kw, cin, 1) if depthwise else (kh, kw, cin, cout)
+        fan_in = kh * kw * cin
+        w = jax.random.truncated_normal(next(keys), -2, 2, shape, jnp.float32)
+        params[prefix + ("/depthwise_weights" if depthwise else "/weights")] = (
+            w * np.sqrt(1.0 / fan_in))
+        bn(prefix, cin if depthwise else cout)
+
+    conv("MobilenetV2/Conv", 3, 3, 3, STEM_CHANNELS)
+    cin = STEM_CHANNELS
+    for i, (exp, cout, _, _) in enumerate(_BLOCKS):
+        name = "MobilenetV2/expanded_conv" + ("" if i == 0 else "_%d" % i)
+        mid = cin * exp if exp else cin
+        if exp:
+            conv(name + "/expand", 1, 1, cin, mid)
+        conv(name + "/depthwise", 3, 3, mid, 1, depthwise=True)
+        conv(name + "/project", 1, 1, mid, cout)
+        cin = cout
+
+    conv("aspp0", 1, 1, cin, ASPP_DEPTH)
+    conv("image_pooling", 1, 1, cin, ASPP_DEPTH)
+    conv("concat_projection", 1, 1, 2 * ASPP_DEPTH, ASPP_DEPTH)
+    w = jax.random.truncated_normal(
+        next(keys), -2, 2, (1, 1, ASPP_DEPTH, num_classes), jnp.float32)
+    params["logits/semantic/weights"] = w * 0.01
+    params["logits/semantic/biases"] = jnp.zeros((num_classes,), jnp.float32)
+    return params
+
+
+def trainable_names(params: Params):
+    """TF trainable_variables: conv weights + BN gamma/beta + logits bias
+    (moving statistics are not trainable)."""
+    return [k for k in params if "moving_" not in k]
+
+
+def preprocess(frames):
+    """Pad +1 row/col with 127.5 and normalize to [-1, 1].
+
+    frames: (B, H, W, 3) float or uint8 in [0, 255].
+    Returns (B, H+1, W+1, 3) float32 (meta nodes concat..sub_2).
+    """
+    x = frames.astype(jnp.float32)
+    b, h, w, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), constant_values=127.5)
+    return x * jnp.float32(2.0 / 255.0) - 1.0
+
+
+def _bn(params, prefix, x, train, stats_out, eps=layers.BN_EPS):
+    g = params[prefix + "/BatchNorm/gamma"]
+    b = params[prefix + "/BatchNorm/beta"]
+    if train:
+        y, mean, var = layers.batch_norm_train(x, g, b, eps=eps)
+        if stats_out is not None:
+            stats_out[prefix + "/BatchNorm/moving_mean"] = mean
+            stats_out[prefix + "/BatchNorm/moving_variance"] = var
+        return y
+    return layers.batch_norm_infer(
+        x, g, b,
+        params[prefix + "/BatchNorm/moving_mean"],
+        params[prefix + "/BatchNorm/moving_variance"], eps=eps)
+
+
+def backbone(params: Params, x, *, train: bool = False, stats_out=None,
+             compute_dtype=jnp.float32):
+    """MobileNetV2 trunk on preprocessed input; returns (B, h/16, w/16, 320)."""
+    cd = compute_dtype
+    x = layers.conv2d(x, params["MobilenetV2/Conv/weights"], stride=2,
+                      compute_dtype=cd)
+    x = layers.relu6(_bn(params, "MobilenetV2/Conv", x, train, stats_out))
+    cin = STEM_CHANNELS
+    for i, (exp, cout, stride, rate) in enumerate(_BLOCKS):
+        name = "MobilenetV2/expanded_conv" + ("" if i == 0 else "_%d" % i)
+        inp = x
+        if exp:
+            x = layers.conv2d(x, params[name + "/expand/weights"],
+                              compute_dtype=cd)
+            x = layers.relu6(_bn(params, name + "/expand", x, train, stats_out))
+        x = layers.depthwise_conv2d(
+            x, params[name + "/depthwise/depthwise_weights"],
+            stride=stride, rate=rate, compute_dtype=cd)
+        x = layers.relu6(_bn(params, name + "/depthwise", x, train, stats_out))
+        x = layers.conv2d(x, params[name + "/project/weights"],
+                          compute_dtype=cd)
+        x = _bn(params, name + "/project", x, train, stats_out)
+        if stride == 1 and cin == cout:
+            x = x + inp
+        cin = cout
+    return x
+
+
+def deeplab_head(params: Params, feat, out_hw, *, train: bool = False,
+                 stats_out=None, compute_dtype=jnp.float32):
+    """ASPP (1x1 + image pooling) -> projection -> per-class logits."""
+    cd = compute_dtype
+    fh, fw = feat.shape[1], feat.shape[2]
+
+    pooled = jnp.mean(feat.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    pooled = layers.conv2d(pooled, params["image_pooling/weights"],
+                           compute_dtype=cd)
+    pooled = jax.nn.relu(_bn(params, "image_pooling", pooled, train, stats_out,
+                             eps=HEAD_BN_EPS))
+    pooled = jnp.broadcast_to(pooled, (feat.shape[0], fh, fw, pooled.shape[-1]))
+
+    aspp = layers.conv2d(feat, params["aspp0/weights"], compute_dtype=cd)
+    aspp = jax.nn.relu(_bn(params, "aspp0", aspp, train, stats_out,
+                           eps=HEAD_BN_EPS))
+
+    x = jnp.concatenate([pooled.astype(aspp.dtype), aspp], axis=-1)
+    x = layers.conv2d(x, params["concat_projection/weights"], compute_dtype=cd)
+    x = jax.nn.relu(_bn(params, "concat_projection", x, train, stats_out,
+                        eps=HEAD_BN_EPS))
+
+    x = layers.conv2d(x, params["logits/semantic/weights"], compute_dtype=cd)
+    x = x + params["logits/semantic/biases"].astype(x.dtype)
+    # Final align-corners bilinear resize straight to the pre-pad input size
+    # (meta node ResizeBilinear_2 driven by Shape(features)[1:3]).
+    return resize_bilinear_ac(x.astype(jnp.float32), out_hw)
+
+
+def student_logits(params: Params, frames, *, train: bool = False,
+                   stats_out=None, compute_dtype=jnp.float32):
+    """Full student forward: raw frames -> per-pixel class logits.
+
+    frames: (B, H, W, 3) in [0, 255]; returns (B, H, W, num_classes) f32.
+    When ``train`` is True, batch statistics are used for normalization and,
+    if ``stats_out`` (a dict) is given, the biased batch moments are recorded
+    there for the moving-average update.
+    """
+    b, h, w, _ = frames.shape
+    x = preprocess(frames)
+    feat = backbone(params, x, train=train, stats_out=stats_out,
+                    compute_dtype=compute_dtype)
+    return deeplab_head(params, feat, (h, w), train=train,
+                        stats_out=stats_out, compute_dtype=compute_dtype)
+
+
+def student_forward(params: Params, frames, class_indices,
+                    *, train: bool = False, stats_out=None,
+                    compute_dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Logits gathered to the experiment's class subset + argmax predictions.
+
+    Mirrors the reference's reduced-logits path (graph_utils.py:372-391):
+    ``logits_reduced = gather(logits, class_indices)`` and
+    ``predictions = argmax(logits_reduced)`` (ids in the REDUCED space).
+    """
+    logits = student_logits(params, frames, train=train, stats_out=stats_out,
+                            compute_dtype=compute_dtype)
+    reduced = jnp.take(logits, jnp.asarray(class_indices), axis=-1)
+    preds = jnp.argmax(reduced, axis=-1).astype(jnp.int32)
+    return reduced, preds

@@ -1,0 +1,126 @@
+"""Confusion-matrix mIoU metrics.
+
+``calculate_miou`` reproduces the reference's NumPy golden implementation
+(reference ``utils/utils.py:80-126``) exactly, including its NaN /
+string-placeholder behaviour, since downstream analytics (rolling 10 s window
+mIoU, k1k2 horizon tables) depend on those conventions.
+
+``confusion_matrix`` is the device-side accumulator replacing the TF1
+``tf.metrics.mean_iou`` local-variable machinery (reference
+``graph_utils.py:398-402``, ``SemanticNetwork.py:102-109``): a weighted
+bincount over ``num_classes**2`` cells that XLA lowers to a single
+scatter-add, usable inside jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def confusion_matrix(labels, predictions, num_classes, weights=None):
+    """Weighted confusion matrix, rows = labels, cols = predictions.
+
+    Matches tf.metrics.mean_iou's ``total_cm`` update semantics: each pixel
+    contributes ``weight`` (default 1) to cell ``[label, prediction]``.
+
+    Args:
+        labels: int array, any shape.
+        predictions: int array, same shape.
+        num_classes: static int.
+        weights: optional float array broadcastable to ``labels``.
+
+    Returns:
+        (num_classes, num_classes) float32 array.
+    """
+    labels = jnp.asarray(labels).astype(jnp.int32)
+    predictions = jnp.asarray(predictions).astype(jnp.int32)
+    if weights is None:
+        w = jnp.ones(labels.shape, jnp.float32).reshape(-1)
+    else:
+        w = jnp.broadcast_to(jnp.asarray(weights, jnp.float32),
+                             labels.shape).reshape(-1)
+    labels = labels.reshape(-1)
+    predictions = predictions.reshape(-1)
+    idx = labels * num_classes + predictions
+    cm = jnp.zeros((num_classes * num_classes,), jnp.float32)
+    cm = cm.at[idx].add(w)
+    return cm.reshape(num_classes, num_classes)
+
+
+def iou_from_confusion(cm):
+    """Per-class IoU from a confusion matrix; NaN where class absent. jittable."""
+    cm = jnp.asarray(cm, jnp.float32)
+    tp = jnp.diagonal(cm)
+    denom = cm.sum(axis=0) + cm.sum(axis=1) - tp
+    return jnp.where(denom > 0, tp / jnp.maximum(denom, 1.0), jnp.nan)
+
+
+def calculate_miou(conf_matrix, population=False, detailed=False, nan=False):
+    """Per-class IoU list from a confusion matrix.
+
+    Byte-for-byte compatible with the reference implementation
+    (utils/utils.py:80-126): rows are ground-truth, columns predictions;
+    classes absent from both axes yield NaN (``nan=True``) or the string
+    'Not predicted/present'; the denominator is clamped to >= 1.
+    """
+    cm = np.asarray(conf_matrix)
+    n = cm.shape[0]
+    row = cm.sum(axis=1)
+    col = cm.sum(axis=0)
+    tp = np.diagonal(cm).astype(np.float64)
+    denom = row + col - tp
+
+    miou: list = []
+    false_pos: list = []
+    false_neg: list = []
+    for i in range(n):
+        if denom[i] == 0:
+            miou.append(np.nan if nan else "Not predicted/present")
+            if detailed:
+                false_pos.append(0)
+                false_neg.append(0)
+        else:
+            miou.append(tp[i] / max(denom[i], 1))
+            if detailed:
+                false_neg.append((row[i] - tp[i]) / denom[i])
+                false_pos.append((col[i] - tp[i]) / denom[i])
+    if population:
+        pop = row / row.sum()
+        if detailed:
+            return miou, pop, false_neg, false_pos
+        return miou, pop
+    if detailed:
+        return miou, false_neg, false_pos
+    return miou
+
+
+def string_class_iou(class_iou_list, population=None, headers=None,
+                     class_weights=None, labels=None):
+    """Pretty per-class IoU table (reference utils/utils.py:188-213)."""
+    from ams_tpu.configs import CITYSCAPES_LABELS
+
+    out = []
+    if headers is not None:
+        out.append("%22s\t" % "" + "\t\t".join(headers) + "\t\t")
+    if labels is None:
+        labels = list(CITYSCAPES_LABELS)
+    if class_weights is not None:
+        keep = np.where(np.asarray(class_weights).reshape(-1) == 1)[0]
+        labels = [labels[i] for i in keep]
+    if not isinstance(class_iou_list[0], list):
+        class_iou_list = [class_iou_list]
+    for i in range(len(class_iou_list[0])):
+        if population is not None:
+            head = "%-22s" % (labels[i] + "(%.3g):" % (population[i] * 100.0))
+        else:
+            head = "%-22s" % (labels[i] + ":")
+        cells = []
+        for col in class_iou_list:
+            if isinstance(col[i], str):
+                cells.append(col[i] + "\t")
+            else:
+                cells.append("%.1f" % (col[i] * 100.0) + "\t\t\t")
+        out.append(head + "\t" + "".join(cells))
+    return "\n".join(out) + "\n"

@@ -1,0 +1,35 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Tests never require real TPU hardware; multi-chip sharding is validated on
+CPU devices forced via XLA flags (must be set before jax import).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="session")
+def student_parity_fixture():
+    path = os.path.join(FIXTURE_DIR, "student_parity_h64.npz")
+    if not os.path.exists(path):
+        pytest.skip("parity fixture missing (run tools/make_parity_fixture.py)")
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+    params = {k[len("param:"):]: v for k, v in data.items()
+              if k.startswith("param:")}
+    return {
+        "params": params,
+        "frames": data["frames"],
+        "labels": data["labels"],
+        "logits_train_bn": data["logits_train_bn"],
+    }
