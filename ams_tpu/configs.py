@@ -107,6 +107,11 @@ _add(54, 21, [0, 2, 7, 15], 1000, coco=True, dataset="lvs")
 
 _add(45, 21, [0, 15], 500, coco=True, dataset="lvs")  # 59.94fps clip
 
+# Synthetic clips for tests/benches (not in the reference registry; ids >= 90
+# are reserved for ams_tpu.data.video.write_synthetic_clip outputs).
+_add(90, 19, [0, 1, 2, 8, 10], 8, dataset="synthetic")
+_add(91, 19, range(19), 8, dataset="synthetic")
+
 
 def get_config(exp_num: int) -> VideoConfig:
     try:

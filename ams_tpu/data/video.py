@@ -1,0 +1,125 @@
+"""Video and ground-truth label IO.
+
+Wraps OpenCV's VideoCapture with the conventions the reference loops use
+(run.py:105-112, 158-167, 413-421): integer-rounded fps, frame seek by
+index, BGR->RGB conversion + bilinear resize for frames, nearest-neighbor
+resize + optional COCO remap for labels, and "premature end of video" as a
+hard error.  Also provides a synthetic clip generator so tests and benches
+run without dataset downloads.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover - cv2 is present in CI images
+    cv2 = None
+
+
+class VideoReader:
+    """Sequential frame reader with second-granular position helpers."""
+
+    def __init__(self, path: str):
+        if cv2 is None:
+            raise RuntimeError("OpenCV is required for video IO")
+        self.path = path
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise IOError("Error opening video stream or file: %s" % path)
+        self.fps = int(round(self.cap.get(cv2.CAP_PROP_FPS)))
+        self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+    def seek_frame(self, index: int) -> None:
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, index)
+
+    def read(self) -> Optional[np.ndarray]:
+        """Next frame as BGR uint8, or None at end of stream."""
+        ret, frame = self.cap.read()
+        return frame if ret else None
+
+    def read_or_die(self) -> np.ndarray:
+        frame = self.read()
+        if frame is None:
+            raise EOFError("Premature end of video")
+        return frame
+
+    def release(self) -> None:
+        self.cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+
+def open_video(path: str) -> VideoReader:
+    return VideoReader(path)
+
+
+def frame_to_rgb(frame_bgr: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    """Resize (bilinear) and convert BGR->RGB (run.py:181-182)."""
+    h, w = size_hw
+    out = cv2.resize(frame_bgr, (w, h))
+    return cv2.cvtColor(out, cv2.COLOR_BGR2RGB)
+
+
+def load_gt_label(gt_path: str, index: int, size_hw: Optional[Tuple[int, int]]
+                  = None, coco_map: Optional[np.ndarray] = None) -> np.ndarray:
+    """Read gt_%06d.png (uint8 class ids) with optional NN resize + COCO
+    remap (run.py:163, 183-187, 420-421)."""
+    path = "%sgt_%06d.png" % (gt_path, index)
+    label = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if label is None:
+        raise IOError("missing ground-truth label %s" % path)
+    if size_hw is not None:
+        label = cv2.resize(label, (size_hw[1], size_hw[0]),
+                           interpolation=cv2.INTER_NEAREST)
+    if coco_map is not None:
+        label = coco_map[label]
+    return label
+
+
+def write_synthetic_clip(path: str, *, seconds: int = 4, fps: int = 10,
+                         size_hw: Tuple[int, int] = (128, 256),
+                         seed: int = 0,
+                         gt_dir: Optional[str] = None,
+                         num_classes: int = 19) -> Tuple[str, Optional[str]]:
+    """Generate a deterministic moving-pattern mp4 (+ optional gt pngs).
+
+    The clip shows smooth horizontally-drifting color bands so that online
+    distillation has learnable temporal structure; labels quantize the
+    pattern into ``num_classes`` horizontal strata.
+    """
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required for video IO")
+    h, w = size_hw
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (w, h))
+    if not writer.isOpened():
+        raise IOError("cv2.VideoWriter failed for %s" % path)
+    if gt_dir is not None:
+        os.makedirs(gt_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    phase = rng.rand() * 6.28
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    n = seconds * fps
+    for t in range(n):
+        shift = t * 3.0
+        r = 127 + 120 * np.sin((xx + shift) / 23.0 + phase)
+        g = 127 + 120 * np.sin((yy + 0.5 * shift) / 17.0)
+        b = 127 + 120 * np.sin((xx + yy + shift) / 31.0)
+        frame = np.stack([b, g, r], axis=-1).astype(np.uint8)
+        writer.write(frame)
+        if gt_dir is not None:
+            strata = ((yy + shift) / h * num_classes).astype(np.int64)
+            label = (strata % num_classes).astype(np.uint8)
+            cv2.imwrite(os.path.join(gt_dir, "gt_%06d.png" % t), label)
+    writer.release()
+    return path, gt_dir

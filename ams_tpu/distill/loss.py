@@ -1,0 +1,96 @@
+"""Online-distillation losses.
+
+Reproduces the reference's class-reduced masked cross-entropy
+(graph_utils.py:372-418): logits are gathered to the experiment's selected
+classes, teacher hard labels are one-hot-encoded in the FULL class space then
+gathered (so labels outside the selected set produce all-zero rows and weight
+0), and the loss is the mean CE over valid pixels.  The optional soft-teacher
+path trains against softmax(gathered teacher logits) (graph_utils.py:403-404)
+and the per-class 'selective' loss (graph_utils.py:410-418) is exposed for
+API parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ams_tpu.models.mobilenetv2_deeplab import student_logits
+
+
+def reduce_labels(labels, class_indices, num_classes):
+    """Teacher labels (full id space) -> (reduced ids, validity weights).
+
+    Matches one_hot -> gather -> argmax / reduce_sum of the reference:
+    labels outside the selected set map to reduced id 0 with weight 0.
+    """
+    labels = labels.astype(jnp.int32)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    filtered = jnp.take(onehot, jnp.asarray(class_indices), axis=-1)
+    reduced = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+    weights = jnp.sum(filtered, axis=-1)
+    return reduced, weights, filtered
+
+
+def softmax_xent_with_soft_labels(logits, soft_labels):
+    """tf.nn.softmax_cross_entropy_with_logits semantics."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(soft_labels * logp, axis=-1)
+
+
+def masked_mean(x, mask):
+    """Mean over elements where mask is nonzero (boolean_mask + reduce_mean)."""
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def distill_loss(params, frames, labels, class_indices, num_classes, *,
+                 train=True, teacher_logits=None, compute_dtype=jnp.float32,
+                 stats_out=None):
+    """Scalar distillation loss + aux dict.
+
+    Args:
+        params: flat student param dict (trainable + BN moving stats).
+        frames: (B, H, W, 3) float/uint8 in [0, 255].
+        labels: (B, H, W) integer teacher hard labels in the FULL class space.
+        class_indices: static array of selected class ids.
+        num_classes: total classes (19 or 21).
+        teacher_logits: optional (B, H, W, num_classes) for soft-teacher CE.
+        stats_out: optional dict to capture BN batch moments for the
+            moving-average update.
+
+    Returns:
+        (loss, aux) with aux = {'predictions', 'weights', 'logits_reduced'}.
+    """
+    logits = student_logits(params, frames, train=train, stats_out=stats_out,
+                            compute_dtype=compute_dtype)
+    reduced_logits = jnp.take(logits, jnp.asarray(class_indices), axis=-1)
+    reduced_labels, weights, filtered_onehot = reduce_labels(
+        labels, class_indices, num_classes)
+    if teacher_logits is not None:
+        soft = jax.nn.softmax(
+            jnp.take(teacher_logits, jnp.asarray(class_indices), axis=-1),
+            axis=-1)
+        pixel_loss = softmax_xent_with_soft_labels(reduced_logits, soft)
+    else:
+        pixel_loss = softmax_xent_with_soft_labels(reduced_logits,
+                                                   filtered_onehot)
+    loss = masked_mean(pixel_loss, weights > 0)
+    preds = jnp.argmax(reduced_logits, axis=-1).astype(jnp.int32)
+    aux = {"predictions": preds, "weights": weights,
+           "logits_reduced": reduced_logits, "reduced_labels": reduced_labels}
+    return loss, aux
+
+
+def selective_loss(reduced_logits, reduced_labels, weights, n_selected):
+    """Per-class selective CE sum (graph_utils.py:410-418): for each selected
+    class i, mean CE over valid pixels where label==i or prediction==i."""
+    preds = jnp.argmax(reduced_logits, axis=-1)
+    onehot = jax.nn.one_hot(reduced_labels, n_selected, dtype=jnp.float32)
+    pixel_loss = softmax_xent_with_soft_labels(reduced_logits, onehot)
+    valid = weights > 0
+    total = 0.0
+    for i in range(n_selected):
+        sel = jnp.logical_or(reduced_labels == i, preds == i)
+        total = total + masked_mean(pixel_loss, jnp.logical_and(valid, sel))
+    return total

@@ -1,0 +1,200 @@
+"""The jitted online-distillation round.
+
+TPU-native redesign of the reference's training core
+(SemanticNetwork.train_with_deque / _train / _fill_batch / _fill_queue,
+SemanticNetwork.py:215-300): instead of three host threads feeding an
+in-graph FIFO queue one sess.run at a time, the WHOLE round — minibatch
+sampling, forward/backward, masked Adam updates, BN moving-average updates,
+and the coord-descent-auto parameter selection — is one ``lax.scan`` inside
+one XLA program:
+
+- the frame/label memory lives on device as uint8 ring buffers (a 250-frame
+  256x512 memory is ~100 MB of HBM); each iteration draws its minibatch with
+  the on-device PRNG and gathers directly from HBM — zero host round-trips;
+- ``coord_desc_auto`` (reference SemanticNetwork.py:263-288: snapshot, one
+  full Adam step, rank |delta| across ALL parameters, keep the top
+  ``coord_frac`` percentile, revert the rest) happens at iteration 0 of the
+  same scan via a top-|delta| quantile — the reference's full device->host
+  parameter pull disappears;
+- masks are DATA (jnp.where in the update), never structure, so changing the
+  trainable subset between rounds never retraces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ams_tpu.distill.loss import distill_loss, reduce_labels
+from ams_tpu.distill.optimizer import AdamState, adam_apply, adam_init  # noqa: F401
+from ams_tpu.models import layers
+from ams_tpu.models.mobilenetv2_deeplab import trainable_names, student_forward
+from ams_tpu.utils.metrics import confusion_matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class DistillSpec:
+    """Static configuration of a distillation round (trace-time constants)."""
+
+    iters: int = 200                 # run.py 'iter' flag default
+    batch_size: int = 10             # run.py 'batch_size'
+    num_classes: int = 19
+    class_indices: Tuple[int, ...] = tuple(range(19))
+    strategy: str = "full_model"
+    coord_frac: float = 0.1
+    compute_dtype: str = "float32"   # "bfloat16" for the fast TPU path
+    # Multi-chip GSPMD sharding of the round (parallel/sharded.py): minibatch
+    # over ``batch_axis`` (data parallel), activation width over
+    # ``width_axis`` (spatial partitioning; XLA inserts conv halo exchanges
+    # and psums for pooling/BN reductions).  None = single chip.
+    batch_axis: Optional[str] = None
+    width_axis: Optional[str] = None
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def split_params(params):
+    """-> (trainable, bn_state) by TF trainable-collection rules."""
+    tnames = set(trainable_names(params))
+    train = {k: v for k, v in params.items() if k in tnames}
+    state = {k: v for k, v in params.items() if k not in tnames}
+    return train, state
+
+
+def _tree_where(mask, a, b):
+    return {k: jnp.where(mask[k], a[k], b[k]) for k in a}
+
+
+def _flat_abs_delta(a, b):
+    parts = [jnp.abs(a[k] - b[k]).reshape(-1) for k in sorted(a)]
+    return jnp.concatenate(parts)
+
+
+def make_distill_round(spec: DistillSpec):
+    """Build the jitted round function.
+
+    Returned signature:
+        round_fn(params, opt_state, frames_buf, labels_buf, n_valid, rng, lr,
+                 mask) -> (params, opt_state, mask, losses)
+
+    - params: flat dict (trainable + BN moving stats).
+    - frames_buf: (capacity, H, W, 3) uint8 device buffer (device-resident
+      frame memory); labels_buf: (capacity, H, W) uint8|int32.
+    - n_valid: number of live entries in the buffers (dynamic).
+    - mask: bool dict over trainable params.  For full_model pass the
+      all-True mask; for coord_desc_auto pass all-True to (re)select at
+      iteration 0 (keep_mask=False) — to reuse a previous round's selection
+      (keep_mask=True) build the round with spec.strategy='coord_desc_last'
+      -style fixed-mask semantics by passing that mask with reselect=False.
+    - losses: (iters,) f32, the per-iteration loss trace (the reference
+      prints these per sess.run, SemanticNetwork.py:261).
+    """
+    ci = jnp.asarray(spec.class_indices)
+    auto = spec.strategy == "coord_desc_auto"
+
+    @functools.partial(jax.jit, static_argnames=("reselect",))
+    def round_fn(params, opt_state, frames_buf, labels_buf, n_valid, rng, lr,
+                 mask, reselect: bool = True):
+        params_t, bn_state = split_params(params)
+        before = params_t  # round-start snapshot (auto reverts to this)
+
+        def loss_fn(pt, bn_state, frames, labels):
+            stats_cap = {}
+            merged = dict(pt)
+            merged.update(bn_state)
+            loss, _aux = distill_loss(
+                merged, frames, labels, ci, spec.num_classes, train=True,
+                compute_dtype=spec.cdtype, stats_out=stats_cap)
+            return loss, stats_cap
+
+        def body(carry, it):
+            params_t, bn_state, opt_state, mask = carry
+            k = jax.random.fold_in(rng, it)
+            idx = jax.random.randint(k, (spec.batch_size,), 0,
+                                     jnp.maximum(n_valid, 1))
+            frames = frames_buf[idx].astype(jnp.float32)
+            labels = labels_buf[idx]
+            if spec.batch_axis or spec.width_axis:
+                from jax.sharding import PartitionSpec as P
+                fs = P(spec.batch_axis, None, spec.width_axis, None)
+                ls = P(spec.batch_axis, None, spec.width_axis)
+                frames = jax.lax.with_sharding_constraint(frames, fs)
+                labels = jax.lax.with_sharding_constraint(labels, ls)
+
+            (loss, stats_cap), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params_t, bn_state, frames, labels)
+            stepped, opt_state = adam_apply(params_t, grads, opt_state, lr)
+
+            if auto and reselect:
+                def select(_):
+                    delta = _flat_abs_delta(stepped, before)
+                    thr = jnp.quantile(delta, 1.0 - spec.coord_frac,
+                                       method="linear")
+                    new_mask = {kk: jnp.abs(stepped[kk] - before[kk]) > thr
+                                for kk in stepped}
+                    return _tree_where(new_mask, stepped, before), new_mask
+
+                def keep(_):
+                    return _tree_where(mask, stepped, params_t), mask
+
+                new_params, mask = jax.lax.cond(it == 0, select, keep, None)
+            else:
+                new_params = _tree_where(mask, stepped, params_t)
+
+            # Moving-average update runs every step for every BN regardless of
+            # masks (the reference's update_bn control deps + the fact that
+            # the where-revert only covers trainable vars).
+            new_bn = {kk: layers.moving_average_update(
+                bn_state[kk], stats_cap[kk], n_elems=1, decay=layers.BN_DECAY,
+                bessel=False) for kk in bn_state}
+            return (new_params, new_bn, opt_state, mask), loss
+
+        (params_t, bn_state, opt_state, mask), losses = jax.lax.scan(
+            body, (params_t, bn_state, opt_state, mask),
+            jnp.arange(spec.iters))
+        out = dict(params_t)
+        out.update(bn_state)
+        return out, opt_state, mask, losses
+
+    return round_fn
+
+
+def all_true_mask(params):
+    train, _ = split_params(params)
+    return {k: jnp.ones(v.shape, bool) for k, v in train.items()}
+
+
+def make_predict_fn(num_classes, class_indices, *, train_bn: bool,
+                    compute_dtype=jnp.float32):
+    """Jitted inference with metrics.
+
+    Mirrors predict_with_metric (SemanticNetwork.py:196-213): returns
+    (predictions in reduced id space, confusion matrix over the selected
+    classes with invalid-label weights zeroed, loss).  ``train_bn=True``
+    matches the reference's non-frozen (server-side) graph whose BNs run in
+    training mode; the deployed client uses moving statistics.
+    """
+    ci = jnp.asarray(class_indices)
+    n_sel = len(class_indices)
+
+    @jax.jit
+    def predict(params, frames, labels):
+        frames = frames.astype(jnp.float32)
+        reduced_logits, preds = student_forward(
+            params, frames, ci, train=train_bn, compute_dtype=compute_dtype)
+        red_labels, weights, filtered_onehot = reduce_labels(
+            labels, ci, num_classes)
+        cm = confusion_matrix(red_labels, preds, n_sel, weights)
+        logp = jax.nn.log_softmax(reduced_logits, axis=-1)
+        pixel_loss = -jnp.sum(filtered_onehot * logp, axis=-1)
+        wsum = jnp.maximum(jnp.sum(weights), 1.0)
+        loss = jnp.sum(pixel_loss * weights) / wsum
+        return preds, cm, loss
+
+    return predict

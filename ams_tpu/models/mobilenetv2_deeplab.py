@@ -150,8 +150,13 @@ def _bn(params, prefix, x, train, stats_out, eps=layers.BN_EPS):
     if train:
         y, mean, var = layers.batch_norm_train(x, g, b, eps=eps)
         if stats_out is not None:
+            # Record the batch moments the moving-average update consumes:
+            # TF's fused BN hands the *Bessel-corrected* variance to
+            # AssignMovingAvg while normalizing with the biased one.
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            bessel = n / (n - 1) if n > 1 else 1.0
             stats_out[prefix + "/BatchNorm/moving_mean"] = mean
-            stats_out[prefix + "/BatchNorm/moving_variance"] = var
+            stats_out[prefix + "/BatchNorm/moving_variance"] = var * bessel
         return y
     return layers.batch_norm_infer(
         x, g, b,

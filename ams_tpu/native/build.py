@@ -1,0 +1,29 @@
+"""Build the native codec shared library.
+
+Usage: python ams_tpu/native/build.py
+Invoked automatically on first import of ams_tpu.native.codec when the .so
+is missing and a compiler is available.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(HERE, "codec.cpp")
+OUT = os.path.join(HERE, "libams_codec.so")
+
+
+def build(verbose: bool = True) -> str:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", SRC, "-o", OUT,
+           "-lz"]
+    if verbose:
+        print("+", " ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return OUT
+
+
+if __name__ == "__main__":
+    sys.exit(0 if os.path.exists(build()) else 1)

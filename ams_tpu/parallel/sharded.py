@@ -1,0 +1,120 @@
+"""Sharded multi-chip training and labeling.
+
+The reference has no multi-device story (one graph pinned to one GPU,
+SemanticNetwork.py:74; concurrency by launching processes).  TPU-native,
+two complementary parallel modes cover the server's scaling axes:
+
+1. **Single-student dp+sp round** (``make_sharded_distill_round``): one
+   distillation round jitted over the mesh with the MINIBATCH sharded over
+   the ``data`` axis and the activation WIDTH sharded over ``model``
+   (GSPMD spatial partitioning — XLA inserts the conv halo exchanges and
+   psums for the global pools / batch-norm batch statistics).  This is how
+   one round of 200 iters x batch 10 drops below the reference's
+   seconds-per-round on a slice.
+
+2. **Multi-video dp round** (``make_multi_video_round``): the server
+   fine-tunes V independent students (one per edge client) concurrently —
+   an embarrassingly parallel axis mapped with ``shard_map`` over the whole
+   mesh; each device runs its own video's complete round (params, Adam
+   slots, masks and frame memory all carry a leading V axis).
+
+Teacher labeling shards the frame batch over every device
+(``make_sharded_labeler``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ams_tpu.distill.train_step import DistillSpec, make_distill_round
+
+
+def make_sharded_distill_round(spec: DistillSpec, mesh: Mesh,
+                               data_axis: str = "data",
+                               model_axis: str = "model"):
+    """One student's round with minibatch-DP + width-SP sharding.
+
+    Returns fn(params, opt, frames_buf, labels_buf, n_valid, rng, lr, mask)
+    to be called inside ``with mesh:``; the frame memory is sharded over the
+    width axis so HBM per device also scales down.
+    """
+    sharded_spec = dataclasses.replace(spec, batch_axis=data_axis,
+                                       width_axis=model_axis)
+    base = make_distill_round(sharded_spec)
+
+    buf_sh = NamedSharding(mesh, P(None, None, model_axis, None))
+    lbl_sh = NamedSharding(mesh, P(None, None, model_axis))
+    repl = NamedSharding(mesh, P())
+
+    def round_fn(params, opt, frames_buf, labels_buf, n_valid, rng, lr,
+                 mask, reselect=True):
+        frames_buf = jax.device_put(frames_buf, buf_sh)
+        labels_buf = jax.device_put(labels_buf, lbl_sh)
+        params = jax.device_put(params, repl)
+        return base(params, opt, frames_buf, labels_buf, n_valid, rng, lr,
+                    mask, reselect=reselect)
+
+    return round_fn
+
+
+def make_multi_video_round(spec: DistillSpec, mesh: Mesh):
+    """V concurrent per-video rounds, V = total device count.
+
+    All per-video state (params, opt, mask, buffers) carries a leading V
+    axis sharded over the whole mesh; each device executes its own video's
+    full round.  Signature:
+        fn(params_V, opt_V, frames_V, labels_V, n_valid_V, rngs_V, lr,
+           mask_V) -> (params_V, opt_V, mask_V, losses_V)
+    """
+    base = make_distill_round(spec)
+    axes = tuple(mesh.axis_names)
+    lead = P(axes)
+    reselect = spec.strategy == "coord_desc_auto"
+
+    def per_video(params, opt, frames, labels, n_valid, rng, lr, mask):
+        # Each shard sees leading axis of size 1: unbatch, run, rebatch.
+        sq = lambda t: jax.tree.map(lambda x: x[0], t)  # noqa: E731
+        p, o, m, losses = base(sq(params), sq(opt), frames[0], labels[0],
+                               n_valid[0], rng[0], lr, sq(mask),
+                               reselect=reselect)
+        ex = lambda t: jax.tree.map(lambda x: x[None], t)  # noqa: E731
+        return ex(p), ex(o), ex(m), losses[None]
+
+    mapped = shard_map(
+        per_video, mesh=mesh,
+        in_specs=(lead, lead, lead, lead, lead, lead, P(), lead),
+        out_specs=(lead, lead, lead, lead),
+        check_rep=False)
+    return jax.jit(mapped)
+
+
+def stack_videos(pytrees):
+    """Stack per-video pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *pytrees)
+
+
+def make_sharded_labeler(mesh: Mesh, teacher_params,
+                         data_axis: str = "data",
+                         model_axis: str = "model",
+                         compute_dtype=jnp.bfloat16):
+    """Teacher inference with the batch sharded over the data axis and the
+    width over the model axis."""
+    from ams_tpu.models.xception_deeplab import teacher_outputs
+
+    frames_sh = NamedSharding(mesh, P(data_axis, None, model_axis, None))
+    out_sh = NamedSharding(mesh, P(data_axis, None, model_axis))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, in_shardings=(repl, frames_sh),
+                       out_shardings=out_sh)
+    def label(params, frames):
+        return teacher_outputs(params, frames,
+                               compute_dtype=compute_dtype)["predictions"]
+
+    return functools.partial(label, teacher_params)

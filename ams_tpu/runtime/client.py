@@ -1,0 +1,118 @@
+"""Client-side inference emulation (reference infer_output, run.py:364-461).
+
+Replays the video, swaps in the newly-deployed student at each load_range
+point, scores every frame against the teacher ground truth (per-frame loss,
+confusion matrices, rolling 10 s-window mIoU), and optionally dumps visual
+diagnostics.  Artifacts (_loss/_mioucats/_mious/_mioumems .npy) match the
+reference so the analysis modes work unchanged.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import List
+
+import numpy as np
+
+from ams_tpu import configs as exp_configs
+from ams_tpu.data.video import VideoReader, frame_to_rgb, load_gt_label
+from ams_tpu.runtime.config import RunConfig, get_save_dir, print_process
+from ams_tpu.runtime.network import SemanticNetwork
+from ams_tpu.utils.metrics import calculate_miou, string_class_iou
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
+                 run_label: str, gt_path: str, exp_num: int,
+                 load_range: List[int]) -> None:
+    assert inf_end - inf_start != 0, \
+        "There should be at least one set of data points"
+    size = cfg.size
+    reader = VideoReader(cfg.input_video)
+    fps = reader.fps
+    inf_end_frame = inf_end * fps
+    i = inf_start * fps
+    reader.seek_frame(i)
+
+    network = None
+    confusion_matrix_memory = deque(maxlen=10 * fps)
+    loss_s, miou_cats, miou_s, miou_mem_s = [], [], [], []
+    final_save_dir = get_save_dir(cfg, run_label + "_results")
+
+    map_coco = exp_configs.coco_class_converter() \
+        if exp_configs.is_coco(exp_num) else None
+
+    while i < inf_end_frame:
+        if i / fps in load_range:
+            save_dir = get_save_dir(cfg, run_label + "_%d" % (i // fps))
+            if network is not None:
+                network.close_model()
+            network = SemanticNetwork(
+                meta_dir=save_dir + "_final",
+                class_weights_exp=exp_configs.class_weights(exp_num),
+                height=cfg.height, frozen=True,
+                compute_dtype=cfg.compute_dtype,
+                over_ride_total_classes=exp_configs.num_classes(exp_num))
+
+        frame = reader.read_or_die()
+        frame = frame_to_rgb(frame, (size[0], size[1]))
+        gt_frame = load_gt_label(gt_path, i, size_hw=(size[0], size[1]),
+                                 coco_map=map_coco)
+        labels_, conf_mat_, _, miou_, loss_ = network.predict_with_metric(
+            np.expand_dims(frame, 0), np.expand_dims(gt_frame, 0))
+        loss_s.append(loss_)
+        miou_cats.append(np.array(conf_mat_))
+        miou_s.append(miou_)
+        confusion_matrix_memory.append(conf_mat_)
+        miou_mem_s.append(np.nanmean(calculate_miou(
+            np.sum(list(confusion_matrix_memory), axis=0), nan=True)))
+        i += 1
+
+        if i % fps == 0:
+            miou = np.nanmean(calculate_miou(np.sum(miou_cats[-fps:], axis=0),
+                                             nan=True))
+            print_process("miou at %03d secs: %.1f%%"
+                          % (i / fps, float(miou) * 100), i / fps)
+            iou_class, pop_class, false_neg, false_pos = calculate_miou(
+                np.sum(miou_cats[-fps:], axis=0), population=True,
+                detailed=True)
+            print_process("\n\n%s" % string_class_iou(
+                [iou_class, false_neg, false_pos], population=pop_class,
+                headers=["Class IoU", "False Negative", "False Positive"],
+                class_weights=exp_configs.class_weights(exp_num)), i / fps)
+
+        if cfg.save_pic:
+            save_dir_pic = final_save_dir + ("_%d_" % (i / fps))
+            cross_mask, ignore_mask = network.cross_ignore(
+                label_teacher=gt_frame, label_student=labels_[0])
+            cv2.imwrite(save_dir_pic + "cross_mask.png",
+                        cv2.cvtColor(cross_mask, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(save_dir_pic + "ignore_mask.png",
+                        cv2.cvtColor(ignore_mask, cv2.COLOR_RGB2BGR))
+            overlay_t, output_t = network.colorize_teacher(label=gt_frame,
+                                                           frame=frame)
+            cv2.imwrite(save_dir_pic + "overlay_teacher.png",
+                        cv2.cvtColor(overlay_t, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(save_dir_pic + "output_teacher.png",
+                        cv2.cvtColor(output_t, cv2.COLOR_RGB2BGR))
+            overlay_s, output_s = network.colorize(label=labels_[0],
+                                                   frame=frame)
+            cv2.imwrite(save_dir_pic + "output_student.png",
+                        cv2.cvtColor(output_s, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(save_dir_pic + "overlay_student.png",
+                        cv2.cvtColor(overlay_s, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(save_dir_pic + "frame.png",
+                        cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(save_dir_pic + "label_student.png", labels_[0])
+
+    np.save("%s_loss.npy" % final_save_dir, loss_s)
+    np.save("%s_mioucats.npy" % final_save_dir, miou_cats)
+    np.save("%s_mious.npy" % final_save_dir, miou_s)
+    np.save("%s_mioumems.npy" % final_save_dir, miou_mem_s)
+    reader.release()
+    if network is not None:
+        network.close_model()

@@ -1,0 +1,73 @@
+"""Experiment configuration (the reference's tf.app.flags surface,
+run.py:18-69, as a dataclass)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class RunConfig:
+    input_video: str = ""
+    gt_video: str = ""                 # directory of gt_%06d.png labels
+    student_checkpoint: str = ""
+    output_dir: str = ""
+
+    initial_fill: bool = False         # don't train until memory is full
+    memory_len: int = 250              # seconds of frame memory
+    batch_size: int = 10
+    iter: int = 200
+    height: int = 256
+    lr: float = 1e-3
+
+    send_period: int = 30              # seconds between sample arrivals
+    train_period: int = 10             # training cadence grid (seconds)
+
+    only_results: bool = False
+    compress_uplink: bool = False
+    uplink_bw: float = 1000.0          # kbps budget for the H.264 uplink
+    no_restore: bool = False
+    save_pic: bool = False
+
+    enable_ASR: bool = False
+    enable_ATR: bool = False
+
+    train_strategy: str = "full_model"
+    coord_fraction: float = 0.1
+
+    mode: str = "simple"               # simple | pretrained | horizon | early
+    early_cutoff_time: int = 60
+
+    compute_dtype: str = "float32"     # "bfloat16" = fast TPU path
+
+    def validate(self):
+        assert not self.enable_ATR or self.enable_ASR, \
+            "ASR must be enabled for ATR to work"
+        assert not self.enable_ASR or self.mode == "simple", \
+            "ASR can only be used in simple mode"
+        assert not self.enable_ATR or self.mode == "simple", \
+            "ATR can only be used in simple mode"
+        return self
+
+    @property
+    def size(self):
+        return [self.height, self.height * 2]
+
+
+def get_save_dir(cfg: RunConfig, prepend: str) -> str:
+    """Experiment-unique artifact prefix (reference run.py:563-573)."""
+    video = cfg.input_video.split("/")[-1]
+    ckpt_tag = (cfg.student_checkpoint.split("/")[-2]
+                if "/" in cfg.student_checkpoint else cfg.student_checkpoint)
+    return cfg.output_dir + "%s_%s_%s_%d" % (prepend, video, ckpt_tag,
+                                             cfg.height)
+
+
+def print_process(msg: str, curr_time) -> None:
+    try:
+        from termcolor import colored
+        prefix = colored("Process [current time: %d]: " % curr_time, "cyan")
+    except Exception:
+        prefix = "Process [current time: %d]: " % curr_time
+    print(prefix, msg)

@@ -1,0 +1,115 @@
+"""Batched teacher label extraction (reference extract_labels.py).
+
+The reference runs the teacher one frame per sess.run (extract_labels.py:86,
+batch 1) — on TPU that wastes the MXU, so this labeler decodes ahead,
+batches N frames per jitted call, and overlaps video decode with device
+compute via a one-batch prefetch.  Output artifacts are identical:
+gt_%06d.png (uint8 class ids), annot_%06d.png (colorized), vis_%06d.png
+(frame/label overlay), including the reference's +1 symmetric pad / [1:,1:]
+un-pad convention and its ETF progress logging.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ams_tpu import configs as exp_configs
+from ams_tpu.data.video import VideoReader
+from ams_tpu.models.xception_deeplab import init_teacher_params, teacher_outputs
+from ams_tpu.utils import checkpoint as ckpt
+from ams_tpu.utils.colormap import colormap
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def extract_labels(input_video: str, dump_path: str,
+                   teacher_checkpoint: Optional[str] = None,
+                   height: Optional[int] = None, batch: int = 8,
+                   max_frames: Optional[int] = None,
+                   compute_dtype: str = "bfloat16") -> int:
+    """Run the teacher over the clip and dump per-frame label artifacts.
+
+    Returns the number of frames processed.
+    """
+    os.makedirs(dump_path, exist_ok=True)
+    exp_num = exp_configs.video_exp_num(input_video)
+    cmap = colormap()
+
+    params = None
+    if teacher_checkpoint:
+        try:
+            loaded = ckpt.load_any(teacher_checkpoint)
+            loaded = {k.removeprefix("teacher/"): v for k, v in loaded.items()}
+            base = init_teacher_params(jax.random.PRNGKey(0))
+            params = {k: jnp.asarray(v)
+                      for k, v in ckpt.merge_restore(base, loaded).items()}
+        except FileNotFoundError:
+            pass
+    if params is None:
+        params = init_teacher_params(jax.random.PRNGKey(0))
+
+    cd = jnp.dtype(compute_dtype)
+
+    @jax.jit
+    def predict(p, frames):
+        return teacher_outputs(p, frames, compute_dtype=cd)["predictions"]
+
+    reader = VideoReader(input_video)
+    fps = reader.fps
+    limit = exp_configs.test_length(exp_num) * fps
+    if max_frames is not None:
+        limit = min(limit, max_frames) if limit else max_frames
+    if not limit:
+        limit = reader.frame_count
+
+    begin = time.time()
+    index = 0
+    batch_frames = []
+
+    def flush(frames_list, start_index):
+        arr = np.stack(frames_list)  # (b, H+1, W+1, 3) padded RGB
+        preds = np.asarray(predict(params, jnp.asarray(arr)))
+        for j in range(arr.shape[0]):
+            out = preds[j, 1:, 1:].astype(np.uint8)  # un-pad
+            idx = start_index + j
+            cv2.imwrite(os.path.join(dump_path, "gt_%06d.png" % idx), out)
+            colored = cmap[out]
+            cv2.imwrite(os.path.join(dump_path, "annot_%06d.png" % idx),
+                        cv2.cvtColor(colored, cv2.COLOR_RGB2BGR))
+            overlay = cv2.addWeighted(arr[j, 1:, 1:].astype(np.uint8), 0.5,
+                                      colored, 0.5, 0)
+            cv2.imwrite(os.path.join(dump_path, "vis_%06d.png" % idx),
+                        cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR))
+
+    while index + len(batch_frames) < limit:
+        frame = reader.read()
+        if frame is None:
+            break
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if height is not None:
+            frame = cv2.resize(frame, (height * 2, height))
+        frame = np.pad(frame, ((1, 0), (1, 0), (0, 0)), mode="symmetric")
+        batch_frames.append(frame)
+        if len(batch_frames) == batch:
+            flush(batch_frames, index)
+            index += len(batch_frames)
+            batch_frames = []
+            if index % 100 < batch:
+                etf = (time.time() - begin) / max(index, 1) * (limit - index)
+                print("Have computed %d frames so far, ETF: %02d:%02d.%02d"
+                      % (index, etf // 60, etf % 60, (etf * 100) % 100))
+    if batch_frames:
+        flush(batch_frames, index)
+        index += len(batch_frames)
+    reader.release()
+    return index

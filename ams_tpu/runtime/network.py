@@ -1,0 +1,348 @@
+"""SemanticNetwork: the model-runtime facade (reference SemanticNetwork.py).
+
+Same public API as the reference class — predict_input, predict_with_metric,
+calc_cross_miou, train_with_deque, restore_initial/restore/get_vars,
+save_to_frozen_graph, colorize/colorize_teacher/cross_ignore, close_model,
+plus the post-round ``curr_mask``/``train_params`` delta outputs — but the
+machinery underneath is TPU-native:
+
+- no session/graph: params are a flat JAX pytree; "graph construction" is
+  function tracing, cached per static config;
+- the threaded FIFO-queue train pipeline (reference :215-300) is one jitted
+  lax.scan round over device-resident frame memory (distill.train_step);
+- the frozen-graph export (.pb via convert_variables_to_constants,
+  reference :706-714) becomes an .npz parameter snapshot; the frozen-mode
+  constructor loads it and runs inference with moving-statistics BN exactly
+  like the patched frozen graph.
+
+Checkpoint formats accepted for ``meta_dir``: reference-style .npy dicts,
+.npz, or a TF checkpoint prefix (utils.checkpoint.load_any).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ams_tpu.distill.optimizer import adam_init
+from ams_tpu.distill.strategies import build_mask, mask_coverage
+from ams_tpu.distill.train_step import (
+    DistillSpec,
+    all_true_mask,
+    make_distill_round,
+    make_predict_fn,
+    split_params,
+)
+from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+from ams_tpu.models.var_order import SAVEABLE_ORDER, TRAINABLE_ORDER
+from ams_tpu.utils import checkpoint as ckpt
+from ams_tpu.utils.colormap import colormap
+from ams_tpu.utils.metrics import calculate_miou, confusion_matrix
+
+
+class SemanticNetwork:
+    """One student model instance (trainable server copy or frozen client)."""
+
+    TOTAL_CLASSES = 19
+    WHITE = np.array([255, 255, 255], dtype=np.uint8)
+    BLACK = np.array([0, 0, 0], dtype=np.uint8)
+
+    def __init__(self, meta_dir, class_weights_exp=None, height=None,
+                 frozen=False, scale=None, mini_batch_size=None, lr=None,
+                 coord_frac=0.1, cross_miou_compat=False,
+                 over_ride_total_classes=None, compute_dtype="float32",
+                 seed=0, **_unused):
+        assert height is not None, "No height is given"
+        assert class_weights_exp is not None, "No class weights specified"
+        assert frozen or None not in (scale, mini_batch_size, lr), \
+            "Training parameters must be specified for non-frozen graph"
+        if over_ride_total_classes is not None:
+            self.TOTAL_CLASSES = over_ride_total_classes
+
+        self.lr = lr
+        self.mini_batch_size = mini_batch_size
+        self.scale = scale
+        self.coord_frac = float(coord_frac)
+        self.height = int(height)
+        self.frozen = frozen
+        self.meta_dir = meta_dir
+        self.compute_dtype = compute_dtype
+
+        cw = np.asarray(class_weights_exp).reshape(-1)
+        assert cw.shape == (self.TOTAL_CLASSES,)
+        self.class_weights_graph = cw
+        self.class_indices_graph = np.where(cw == 1)[0]
+        self.class_count = len(self.class_indices_graph)
+        assert self.class_count > 0
+
+        self.color_map_reduced_ = np.take(colormap(), self.class_indices_graph,
+                                          axis=0)
+        # full-id -> reduced-id lookup, 0 for unselected (cross_ignore path,
+        # reference SemanticNetwork.py:58-61)
+        take = np.cumsum(cw) * cw
+        self.take_array = np.where(take != 0, take - 1, take).astype(int)
+
+        self.process_lock = threading.Lock()
+        self._rng = jax.random.PRNGKey(seed)
+        self._round_cache: Dict[tuple, object] = {}
+
+        # --- parameters -------------------------------------------------
+        if isinstance(meta_dir, dict):
+            self.params = {k: jnp.asarray(v) for k, v in meta_dir.items()}
+        else:
+            try:
+                loaded = ckpt.load_any(str(meta_dir))
+                base = init_student_params(jax.random.PRNGKey(seed),
+                                           num_classes=self.TOTAL_CLASSES)
+                self.params = {k: jnp.asarray(v) for k, v in
+                               ckpt.merge_restore(base, loaded).items()}
+            except FileNotFoundError:
+                # synthetic fallback: checkpoints without blobs (tests/bench)
+                self.params = init_student_params(
+                    jax.random.PRNGKey(seed), num_classes=self.TOTAL_CLASSES)
+
+        self._initial_params = dict(self.params)
+
+        # --- jitted entry points ---------------------------------------
+        # Non-frozen prediction runs training-mode BN exactly like the
+        # reference's imported graph (is_training=True); frozen uses moving
+        # statistics like the patched frozen .pb.
+        self._predict = make_predict_fn(
+            self.TOTAL_CLASSES, tuple(self.class_indices_graph),
+            train_bn=not frozen, compute_dtype=jnp.dtype(compute_dtype))
+
+        if not frozen:
+            train, _ = split_params(self.params)
+            self.opt_state = adam_init(train)
+            self.mask = None
+            self.curr_mask: Optional[List[np.ndarray]] = None
+            self.train_params: Optional[List[np.ndarray]] = None
+            self.last_losses: Optional[np.ndarray] = None
+
+        self.cross_miou_compat = cross_miou_compat
+        if cross_miou_compat or frozen is False:
+            ci = jnp.asarray(self.class_indices_graph)
+            n_sel = self.class_count
+            total = self.TOTAL_CLASSES
+
+            @jax.jit
+            def cross_cm(before, after):
+                bo = jax.nn.one_hot(before.astype(jnp.int32), total)
+                ao = jax.nn.one_hot(after.astype(jnp.int32), total)
+                br = jnp.argmax(jnp.take(bo, ci, -1), -1)
+                ar = jnp.argmax(jnp.take(ao, ci, -1), -1)
+                w = (jnp.max(jnp.take(bo, ci, -1), -1) *
+                     jnp.max(jnp.take(ao, ci, -1), -1))
+                return confusion_matrix(br, ar, n_sel, w)
+
+            self._cross_cm = cross_cm
+
+    # ------------------------------------------------------------------ API
+
+    def restore_initial(self):
+        """Reset to the pretrained weights (optimizer slots persist, like the
+        reference's Adam-filtered restore, SemanticNetwork.py:25,161-162)."""
+        self.params = dict(self._initial_params)
+
+    def restore(self, chk):
+        if isinstance(chk, str):
+            loaded = ckpt.load_any(chk)
+        else:
+            loaded = chk
+        self.params = {k: jnp.asarray(v) for k, v in
+                       ckpt.merge_restore(dict(self.params), loaded).items()}
+
+    def get_vars(self):
+        return {k: np.asarray(v) for k, v in self.params.items()}
+
+    def predict_input(self, frames):
+        frames = np.asarray(frames)
+        with self.process_lock:
+            preds, _, _ = self._predict(
+                self.params, jnp.asarray(frames, jnp.float32),
+                jnp.zeros(frames.shape[:-1], jnp.int32))
+        labels_ = np.asarray(preds)
+        assert labels_.shape == frames.shape[:-1]
+        return labels_
+
+    def predict_with_metric(self, frames, labels_teacher):
+        frames = np.asarray(frames)
+        with self.process_lock:
+            preds, cm, loss = self._predict(
+                self.params, jnp.asarray(frames, jnp.float32),
+                jnp.asarray(labels_teacher))
+        labels_student = np.asarray(preds)
+        conf_mat_ = np.asarray(cm)
+        iou_ = calculate_miou(conf_mat_, nan=True)
+        miou_ = np.nanmean(iou_)
+        assert labels_student.shape == frames.shape[:-1]
+        return labels_student, conf_mat_, iou_, miou_, float(loss)
+
+    def calc_cross_miou(self, labels):
+        """Temporal cross-mIoU between two consecutive teacher label maps
+        (the ASR phi score, reference :184-194)."""
+        labels = np.asarray(labels)
+        assert labels.shape == (2, self.height, 2 * self.height)
+        with self.process_lock:
+            cm = np.asarray(self._cross_cm(jnp.asarray(labels[0]),
+                                           jnp.asarray(labels[1])))
+        iou_ = calculate_miou(cm, nan=True)
+        return cm, iou_, np.nanmean(iou_)
+
+    # ----------------------------------------------------------- training
+
+    def _round_fn(self, iters, strategy):
+        key = (iters, strategy, self.mini_batch_size, self.class_count)
+        if key not in self._round_cache:
+            spec = DistillSpec(
+                iters=iters, batch_size=self.mini_batch_size,
+                num_classes=self.TOTAL_CLASSES,
+                class_indices=tuple(self.class_indices_graph),
+                strategy=strategy, coord_frac=self.coord_frac,
+                compute_dtype=self.compute_dtype)
+            self._round_cache[key] = make_distill_round(spec)
+        return self._round_cache[key]
+
+    def train_with_deque(self, frame_deque, label_deque, num_of_iterations,
+                         train_strategy="full_model", keep_mask=False):
+        """One distillation round over the frame memory.
+
+        Unlike the reference's thread pipeline, the whole round is a single
+        device program; the frame memory is shipped to HBM once.
+        """
+        assert not self.frozen, "Can't train frozen graph!!!"
+        with self.process_lock:
+            if not keep_mask:
+                self.mask = None
+            fbuf, lbuf, n_valid = self._to_device_buffers(frame_deque,
+                                                          label_deque)
+            round_fn = self._round_fn(num_of_iterations, train_strategy)
+
+            trainable_shapes = {k: tuple(v.shape) for k, v in
+                                split_params(self.params)[0].items()}
+            if train_strategy == "coord_desc_auto":
+                reselect = self.mask is None
+                mask = self.mask if self.mask is not None \
+                    else all_true_mask(self.params)
+            elif train_strategy == "full_model":
+                reselect = False
+                mask = all_true_mask(self.params)
+            else:
+                reselect = False
+                if self.mask is None:
+                    host_mask = build_mask(train_strategy, self.coord_frac,
+                                           trainable_shapes)
+                    total, sel = mask_coverage(host_mask)
+                    print("Using %s mode, Training %.3f%% of variables"
+                          % (train_strategy, 100 * sel / total))
+                    self.mask = {k: jnp.asarray(v)
+                                 for k, v in host_mask.items()}
+                mask = self.mask
+
+            self._rng, sub = jax.random.split(self._rng)
+            new_params, self.opt_state, out_mask, losses = round_fn(
+                self.params, self.opt_state, fbuf, lbuf,
+                jnp.int32(n_valid), sub, jnp.float32(self.lr), mask,
+                reselect=reselect)
+            self.params = new_params
+            self.last_losses = np.asarray(losses)
+
+            if train_strategy == "coord_desc_auto":
+                self.mask = out_mask
+                total = sum(int(np.prod(v.shape)) for v in out_mask.values())
+                sel = sum(int(np.asarray(v).sum()) for v in out_mask.values())
+                print("Using auto mode, Training %.3f%% of variables"
+                      % (100 * sel / total))
+
+            # Delta payload pieces in reference wire order (SemanticNetwork
+            # :290-298): coord strategies ship trainable vars under their
+            # masks; full_model ships every saveable var with all-ones masks.
+            host = self.get_vars()
+            if train_strategy.startswith("coord_desc_"):
+                order = TRAINABLE_ORDER
+                m = {k: np.asarray(v) for k, v in out_mask.items()}
+                self.curr_mask = [m[k] for k in order]
+                self.train_params = [host[k] for k in order]
+            else:
+                order = [k for k in SAVEABLE_ORDER if k in host]
+                self.train_params = [host[k] for k in order]
+                self.curr_mask = [np.ones_like(host[k], dtype=bool)
+                                  for k in order]
+            return self.last_losses
+
+    def _to_device_buffers(self, frame_deque, label_deque):
+        frames = list(frame_deque)
+        labels = list(label_deque)
+        # Lossy uplink codecs can decode one frame more/less than the label
+        # count; align on the common prefix length.
+        n = min(len(frames), len(labels))
+        assert n > 0, "empty frame memory"
+        frames, labels = frames[:n], labels[:n]
+        fbuf = np.stack([np.asarray(f, np.uint8) for f in frames])
+        lbuf = np.stack([np.asarray(l, np.uint8) for l in labels])
+        assert fbuf.shape[1:] == (self.height, 2 * self.height, 3)
+        return jnp.asarray(fbuf), jnp.asarray(lbuf), len(frames)
+
+    # ----------------------------------------------------------- export
+
+    def save_to_frozen_graph(self, save_dir):
+        """Write the deployable client model: an .npz parameter snapshot
+        (the reference's frozen .pb equivalent)."""
+        host = self.get_vars()
+        np.savez(save_dir + ".npz", **host)
+
+    def get_frozen_graph(self):
+        return self.get_vars()
+
+    def close_model(self):
+        """No session to close; drop jit caches."""
+        self._round_cache.clear()
+
+    # ------------------------------------------------------- visualization
+
+    def colorize(self, frame=None, label=None):
+        assert frame is not None or label is not None
+        assert frame is None or frame.shape == (self.height, self.height * 2, 3)
+        if label is None:
+            label = self.predict_input(np.expand_dims(frame, axis=0))[0]
+        assert label.shape == (self.height, self.height * 2)
+        label_colored = self.color_map_reduced_[label]
+        if frame is not None:
+            blend = (frame.astype(np.uint16) + label_colored.astype(np.uint16))
+            return label_colored, (blend // 2).astype(np.uint8)
+        return label_colored
+
+    def colorize_teacher(self, label, frame=None):
+        assert frame is None or frame.shape == (self.height, self.height * 2, 3)
+        assert label.shape == (self.height, self.height * 2)
+        label_colored = colormap()[label]
+        if frame is not None:
+            blend = (frame.astype(np.uint16) + label_colored.astype(np.uint16))
+            return label_colored, (blend // 2).astype(np.uint8)
+        return label_colored
+
+    def cross_ignore(self, label_teacher, label_student=None,
+                     frame_student=None):
+        assert label_student is not None or frame_student is not None
+        assert label_teacher.shape == (self.height, self.height * 2)
+        label_teacher_reduced = self.take_array[label_teacher]
+        if label_student is None:
+            label_student = self.predict_input(
+                np.expand_dims(frame_student, axis=0))[0]
+        assert label_student.shape == (self.height, self.height * 2)
+        ignore_mask = np.where(
+            np.expand_dims(label_teacher_reduced, -1) == 0, self.WHITE,
+            self.BLACK)
+        colorized = self.colorize(label=label_teacher_reduced)
+        cross_cond = np.logical_and(
+            np.logical_not(ignore_mask[:, :, :1]),
+            np.expand_dims(np.not_equal(label_teacher_reduced, label_student),
+                           -1))
+        cross_mask = np.where(cross_cond, colorized, self.BLACK)
+        assert ignore_mask.shape == cross_mask.shape
+        return cross_mask, ignore_mask

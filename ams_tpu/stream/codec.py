@@ -1,0 +1,138 @@
+"""Model-delta wire codec (the downlink payload).
+
+Byte-compatible with the reference's format (run.py:316-333):
+
+    [ for each var in order: packbits(mask.flatten()) ]       # bitmask section
+    [ for each var in order: params[mask].astype(fp16) ]      # values section
+    -> DEFLATE (gzip -9)
+
+Variable order is the TF collection order captured in
+``ams_tpu.models.var_order``: TRAINABLE_ORDER for the coord-descent
+strategies (grad_masks_pl iteration order) and SAVEABLE_ORDER for
+``full_model`` (whose "mask" is all-ones over every saveable var including
+BN moving statistics, SemanticNetwork.py:290-298).
+
+Compression uses zlib at level 9.  When the native C++ codec
+(ams_tpu/native) is built, packing + fp16 conversion + deflate run there
+(single pass, no subprocess); this pure-NumPy/zlib path is the always-
+available fallback and the byte-format oracle.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ams_tpu.models.var_order import SAVEABLE_ORDER, TRAINABLE_ORDER
+
+
+def delta_order(strategy: str) -> List[str]:
+    if strategy == "full_model":
+        return list(SAVEABLE_ORDER)
+    return list(TRAINABLE_ORDER)
+
+
+def pack_payload(masks: Sequence[np.ndarray],
+                 values: Sequence[np.ndarray]) -> bytes:
+    """Raw (pre-compression) payload from per-var masks + masked params."""
+    buf = io.BytesIO()
+    for m in masks:
+        buf.write(np.packbits(np.asarray(m, bool).reshape(-1)).tobytes())
+    for m, v in zip(masks, values):
+        v = np.asarray(v)
+        assert v.shape == np.asarray(m).shape, (v.shape, np.shape(m))
+        buf.write(v[np.asarray(m, bool)].astype(np.float16).tobytes())
+    return buf.getvalue()
+
+
+def encode_delta(params: Dict[str, np.ndarray],
+                 masks: Optional[Dict[str, np.ndarray]],
+                 strategy: str = "full_model",
+                 use_native: bool = True) -> bytes:
+    """Gzip'd downlink payload for one training round.
+
+    params: post-round parameter dict (flat TF names).
+    masks: bool dict over trainable params (None -> all-ones, full_model).
+    """
+    order = [n for n in delta_order(strategy) if n in params]
+    mask_list, value_list = [], []
+    for name in order:
+        v = np.asarray(params[name])
+        if masks is None:
+            m = np.ones(v.shape, bool)
+        else:
+            m = np.asarray(masks.get(name, np.ones(v.shape, bool)), bool)
+        mask_list.append(m)
+        value_list.append(v)
+    raw = pack_payload(mask_list, value_list)
+    if use_native:
+        try:
+            from ams_tpu.native import codec as native_codec
+            return native_codec.gzip9(raw)
+        except Exception:
+            pass
+    buf = io.BytesIO()
+    # mtime=0 keeps payloads deterministic (gzip -9 parity is about size,
+    # not the header timestamp).
+    with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=9, mtime=0) as f:
+        f.write(raw)
+    return buf.getvalue()
+
+
+def decode_delta(blob: bytes,
+                 shapes: Dict[str, Tuple[int, ...]],
+                 strategy: str = "full_model",
+                 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Inverse of encode_delta -> (masks, sparse values per var).
+
+    Returns masks and, for each var, a float16 array of the masked values
+    scattered into a dense array (unmasked entries are 0); use
+    ``apply_delta`` to overlay onto a parameter dict.
+    """
+    raw = gzip.decompress(blob)
+    order = [n for n in delta_order(strategy) if n in shapes]
+    off = 0
+    masks = {}
+    for name in order:
+        shape = shapes[name]
+        n = int(np.prod(shape))
+        nbytes = (n + 7) // 8
+        bits = np.frombuffer(raw, np.uint8, count=nbytes, offset=off)
+        masks[name] = np.unpackbits(bits)[:n].astype(bool).reshape(shape)
+        off += nbytes
+    values = {}
+    for name in order:
+        m = masks[name]
+        cnt = int(m.sum())
+        vals = np.frombuffer(raw, np.float16, count=cnt, offset=off)
+        off += cnt * 2
+        dense = np.zeros(m.shape, np.float16)
+        dense[m] = vals
+        values[name] = dense
+    if off != len(raw):
+        raise ValueError("trailing bytes in delta payload: %d" %
+                         (len(raw) - off))
+    return masks, values
+
+
+def apply_delta(params: Dict[str, np.ndarray],
+                masks: Dict[str, np.ndarray],
+                values: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Client-side update: overwrite masked entries with the fp16 values
+    (cast up to the param dtype), as the edge device would."""
+    out = dict(params)
+    for name, m in masks.items():
+        if name not in out:
+            continue
+        p = np.array(out[name])
+        p[m] = values[name][m].astype(p.dtype)
+        out[name] = p
+    return out
+
+
+def payload_bits(blob: bytes) -> int:
+    """Downlink size accounting (run.py:333: bytes * 8)."""
+    return len(blob) * 8

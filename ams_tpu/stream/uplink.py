@@ -1,0 +1,119 @@
+"""Uplink frame-codec emulation (edge -> server).
+
+The reference measures uplink bandwidth by really encoding the sampled
+frames (run.py:195-276):
+
+- ``compress_uplink``: two-pass H.264 at bitrate uplink_bw * send_period
+  kbps via an ffmpeg subprocess, then DECODES the result back so training
+  sees compression artifacts;
+- otherwise: PNG-encode each frame purely to count bytes.
+
+This module reproduces both paths.  H.264 uses the ffmpeg binary when
+present (exact reference semantics, including the BrokenPipeError retry
+loop for pipe contention, run.py:200-252); without ffmpeg it falls back to
+cv2.VideoWriter (mp4v — no bitrate target, size is whatever the codec
+produces; flagged in the result so experiments know the emulation differs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+import subprocess as sp
+import tempfile
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+FFMPEG = shutil.which("ffmpeg") or "/usr/bin/ffmpeg"
+
+
+@dataclasses.dataclass
+class UplinkResult:
+    frames: List[np.ndarray]     # decoded (possibly degraded) RGB frames
+    bits: float                  # measured uplink payload size in bits
+    exact_reference_codec: bool  # True when the ffmpeg 2-pass path ran
+
+
+def png_size_probe(frames_bgr: List[np.ndarray], tmp_dir: Optional[str] = None
+                   ) -> float:
+    """Uncompressed-uplink accounting: PNG-encode each frame just to measure
+    bytes (run.py:267-276).  Returns total size in Kbits."""
+    total_kb = 0.0
+    for f in frames_bgr:
+        ok, buf = cv2.imencode(".png", f)
+        assert ok
+        total_kb += buf.size / 1024
+    return total_kb * 8
+
+
+def encode_decode_h264(frames_bgr: List[np.ndarray], bitrate_kbps: float,
+                       out_hw: Tuple[int, int], fps: int = 10,
+                       work_dir: Optional[str] = None) -> UplinkResult:
+    """Encode the sample buffer at a target bitrate, decode it back, resize
+    to the training size and convert to RGB (run.py:195-266 semantics)."""
+    work_dir = work_dir or tempfile.mkdtemp(prefix="ams_uplink_")
+    out_file = os.path.join(work_dir, "uplink_tmp_movie.mp4")
+    h_in, w_in = frames_bgr[0].shape[:2]
+
+    if os.path.exists(FFMPEG):
+        _ffmpeg_two_pass(frames_bgr, bitrate_kbps, (w_in, h_in), fps,
+                         out_file)
+        exact = True
+    else:
+        writer = cv2.VideoWriter(out_file, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w_in, h_in))
+        if not writer.isOpened():
+            raise IOError("no ffmpeg and cv2.VideoWriter failed")
+        for f in frames_bgr:
+            writer.write(f)
+        writer.release()
+        exact = False
+
+    size_bits = os.path.getsize(out_file) / 1024 * 8  # Kbits, run.py:255-257
+
+    decoded: List[np.ndarray] = []
+    cap = cv2.VideoCapture(out_file)
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frame = cv2.resize(frame, (out_hw[1], out_hw[0]))
+        decoded.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    os.remove(out_file)
+    return UplinkResult(frames=decoded, bits=size_bits,
+                        exact_reference_codec=exact)
+
+
+def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
+    """Reference ffmpeg invocation: raw bgr24 on stdin, libx264 2-pass at the
+    target bitrate, retry forever on BrokenPipeError (run.py:200-252)."""
+    w, h = size_wh
+    base = [FFMPEG, "-y", "-s", "%dx%d" % (w, h), "-pixel_format", "bgr24",
+            "-f", "rawvideo", "-r", str(fps), "-i", "pipe:",
+            "-vcodec", "libx264", "-pix_fmt", "yuv420p", "-preset", "medium",
+            "-b:v", "%dk" % int(bitrate_kbps)]
+    passes = [base + ["-pass", "1", "-f", "mp4", "/dev/null"],
+              base + ["-pass", "2", out_file]]
+    while True:
+        try:
+            with open(os.devnull, "w") as devnull:
+                for cmd in passes:
+                    proc = sp.Popen(cmd, stdin=sp.PIPE, stderr=devnull,
+                                    stdout=devnull,
+                                    cwd=os.path.dirname(out_file))
+                    for f in frames_bgr:
+                        proc.stdin.write(f.tobytes())
+                    proc.stdin.close()
+                    proc.wait()
+                    proc.terminate()
+            return
+        except BrokenPipeError:
+            continue

@@ -106,6 +106,8 @@ def load_any(path_or_prefix: str) -> dict:
                     if default_filter(k) is not None}
     if os.path.exists(path_or_prefix + ".npy"):
         return load_params(path_or_prefix + ".npy")
+    if os.path.exists(path_or_prefix + ".npz"):
+        return load_any(path_or_prefix + ".npz")
     if os.path.exists(path_or_prefix + ".index"):
         return load_tf_checkpoint(path_or_prefix)
     raise FileNotFoundError(path_or_prefix)

@@ -1,0 +1,94 @@
+"""Delta wire codec tests: byte-format parity with the reference
+(run.py:316-333) and native/python agreement."""
+
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+from ams_tpu.stream.codec import (
+    apply_delta,
+    decode_delta,
+    delta_order,
+    encode_delta,
+    pack_payload,
+    payload_bits,
+)
+from ams_tpu.models.var_order import SAVEABLE_ORDER, TRAINABLE_ORDER
+
+
+def _reference_payload(masks, values):
+    """Reimplementation of the reference's exact write loop for oracle use."""
+    buf = io.BytesIO()
+    for m in masks:
+        buf.write(np.packbits(m.flatten()).tobytes())
+    for m, v in zip(masks, values):
+        buf.write(v[m].astype(np.float16).tobytes())
+    return buf.getvalue()
+
+
+def test_pack_payload_matches_reference_bytes():
+    rng = np.random.RandomState(0)
+    masks = [rng.rand(5, 7) > 0.5, rng.rand(13) > 0.2, rng.rand(3, 2, 4) > 0.9]
+    values = [rng.randn(*m.shape).astype(np.float32) for m in masks]
+    assert pack_payload(masks, values) == _reference_payload(masks, values)
+
+
+def test_roundtrip_small():
+    rng = np.random.RandomState(1)
+    names = TRAINABLE_ORDER[:5]
+    params = {n: rng.randn(4, 3).astype(np.float32) for n in names}
+    masks = {n: rng.rand(4, 3) > 0.5 for n in names}
+    blob = encode_delta(params, masks, strategy="coord_desc_auto",
+                        use_native=False)
+    shapes = {n: (4, 3) for n in names}
+    dmasks, dvalues = decode_delta(blob, shapes, strategy="coord_desc_auto")
+    for n in names:
+        np.testing.assert_array_equal(dmasks[n], masks[n])
+        np.testing.assert_array_equal(
+            dvalues[n][masks[n]], params[n][masks[n]].astype(np.float16))
+    updated = apply_delta(params, dmasks, dvalues)
+    for n in names:
+        got = updated[n][masks[n]]
+        want = params[n][masks[n]].astype(np.float16).astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_delta_order():
+    assert delta_order("full_model") == list(SAVEABLE_ORDER)
+    assert delta_order("coord_desc_auto") == list(TRAINABLE_ORDER)
+    assert "MobilenetV2/Conv/BatchNorm/moving_mean" in SAVEABLE_ORDER
+    assert "MobilenetV2/Conv/BatchNorm/moving_mean" not in TRAINABLE_ORDER
+    assert len(TRAINABLE_ORDER) == 164 and len(SAVEABLE_ORDER) == 272
+
+
+def test_native_matches_python():
+    native = pytest.importorskip("ams_tpu.native.codec")
+    rng = np.random.RandomState(2)
+    masks = [rng.rand(64, 3) > 0.4, rng.rand(1000) > 0.8]
+    values = [(rng.randn(*m.shape) * 10).astype(np.float32) for m in masks]
+    raw = pack_payload(masks, values)
+    blob_native = native.encode_delta_native(masks, values)
+    # decompressed payloads must be byte-identical
+    assert gzip.decompress(blob_native) == raw
+    # and the native gzip9 of the same raw payload decompresses identically
+    assert gzip.decompress(native.gzip9(raw)) == raw
+
+
+def test_native_fp16_edge_cases():
+    native = pytest.importorskip("ams_tpu.native.codec")
+    vals = np.array([0.0, -0.0, 1.0, -1.0, 65504.0, 65520.0, 1e-8, -1e-8,
+                     np.inf, -np.inf, np.nan, 3.14159, 6.1e-5, 5.9e-8],
+                    dtype=np.float32)
+    masks = [np.ones(vals.shape, bool)]
+    blob = native.encode_delta_native(masks, [vals])
+    raw = gzip.decompress(blob)
+    nbytes = (vals.size + 7) // 8
+    got = np.frombuffer(raw, np.float16, offset=nbytes)
+    want = vals.astype(np.float16)
+    np.testing.assert_array_equal(got.tobytes(), want.tobytes())
+
+
+def test_payload_bits():
+    assert payload_bits(b"abcd") == 32

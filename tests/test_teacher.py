@@ -1,0 +1,72 @@
+"""Teacher network + batched labeler tests."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ams_tpu.models.xception_deeplab import (
+    init_teacher_params,
+    teacher_logits,
+    teacher_outputs,
+)
+
+
+@pytest.fixture(scope="module")
+def teacher_params():
+    return init_teacher_params(jax.random.PRNGKey(0))
+
+
+def test_teacher_shapes(teacher_params):
+    frames = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (1, 33, 65, 3)),
+        jnp.float32)
+    out = teacher_outputs(teacher_params, frames, class_indices=(0, 13),
+                          small_hw=(16, 32))
+    assert out["logits"].shape == (1, 33, 65, 19)
+    assert out["predictions"].shape == (1, 33, 65)
+    assert out["probabilities"].shape == (1, 33, 65)
+    assert out["logits_sml"].shape == (1, 16, 32, 19)
+    assert out["predictions_reduced"].shape == (1, 33, 65)
+    assert set(np.unique(np.asarray(out["predictions_reduced"]))) <= {0, 1}
+    w = np.asarray(out["weights"])
+    assert set(np.unique(w)) <= {0.0, 1.0}
+
+
+def test_teacher_param_names_follow_slim_convention(teacher_params):
+    keys = set(teacher_params)
+    for k in ("xception_65/entry_flow/conv1_1/weights",
+              "xception_65/entry_flow/block1/unit_1/xception_module/"
+              "separable_conv1_depthwise/depthwise_weights",
+              "xception_65/middle_flow/block1/unit_16/xception_module/"
+              "separable_conv3_pointwise/weights",
+              "xception_65/exit_flow/block2/unit_1/xception_module/"
+              "separable_conv3_pointwise/weights",
+              "aspp1_depthwise/depthwise_weights", "aspp3_pointwise/weights",
+              "image_pooling/weights", "concat_projection/weights",
+              "logits/semantic/biases"):
+        assert k in keys, k
+
+
+def test_labeler_end_to_end(tmp_path):
+    from ams_tpu.data.video import write_synthetic_clip
+    from ams_tpu.runtime.labeler import extract_labels
+
+    vid = str(tmp_path / "91-clip.mp4")
+    write_synthetic_clip(vid, seconds=1, fps=4, size_hw=(32, 64))
+    dump = str(tmp_path / "labels") + "/"
+    n = extract_labels(vid, dump, height=32, batch=3, max_frames=4,
+                       compute_dtype="float32")
+    assert n == 4
+    gts = sorted(glob.glob(os.path.join(dump, "gt_*.png")))
+    assert len(gts) == 4
+    import cv2
+    lab = cv2.imread(gts[0], cv2.IMREAD_GRAYSCALE)
+    assert lab.shape == (32, 64)
+    assert lab.max() < 19
+    assert len(glob.glob(os.path.join(dump, "annot_*.png"))) == 4
+    assert len(glob.glob(os.path.join(dump, "vis_*.png"))) == 4
