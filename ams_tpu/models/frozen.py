@@ -1,0 +1,132 @@
+"""Frozen-model deployment artifacts: BN folding.
+
+The reference's client model is a frozen .pb produced by rewiring every
+training BN onto its moving statistics and constant-folding the variables
+(convert_batchnorms + strip_unused + convert_variables_to_constants,
+graph_utils.py:52-126, SemanticNetwork.py:706-714).  The JAX analog folds
+each inference-mode batch norm INTO its preceding conv:
+
+    W' = W * gamma / sqrt(var + eps)        (per output channel)
+    b' = beta - mean * gamma / sqrt(var + eps)
+
+halving the deployable parameter count and removing every BN op from the
+client graph.  ``student_forward_folded`` runs the folded artifact;
+``fold_student`` produces it from a trained param dict.  Folding is
+mathematically identical to inference-mode BN (not bit-identical — float
+re-association), so the precise bit-match path keeps the unfolded form.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ams_tpu.models import layers
+from ams_tpu.models.mobilenetv2_deeplab import (
+    _BLOCKS,
+    HEAD_BN_EPS,
+    STEM_CHANNELS,
+    preprocess,
+)
+from ams_tpu.models.resize import resize_bilinear_ac
+
+Params = Dict[str, jax.Array]
+
+
+def _fold(params, prefix, w_key, eps, depthwise=False):
+    g = np.asarray(params[prefix + "/BatchNorm/gamma"])
+    b = np.asarray(params[prefix + "/BatchNorm/beta"])
+    mean = np.asarray(params[prefix + "/BatchNorm/moving_mean"])
+    var = np.asarray(params[prefix + "/BatchNorm/moving_variance"])
+    scale = g / np.sqrt(var + eps)
+    w = np.asarray(params[w_key])
+    if depthwise:
+        # depthwise weights (kh, kw, C, 1): scale along C
+        w = w * scale[None, None, :, None]
+    else:
+        w = w * scale[None, None, None, :]
+    bias = b - mean * scale
+    return w.astype(np.float32), bias.astype(np.float32)
+
+
+def fold_student(params: Params) -> Params:
+    """Trained student params -> folded deployment dict (conv weights with
+    '/folded_bias' companions; logits layer untouched)."""
+    out: Params = {}
+
+    def fold_conv(prefix, depthwise=False, eps=layers.BN_EPS):
+        wk = prefix + ("/depthwise_weights" if depthwise else "/weights")
+        w, bias = _fold(params, prefix, wk, eps, depthwise)
+        out[wk] = jnp.asarray(w)
+        out[prefix + "/folded_bias"] = jnp.asarray(bias)
+
+    fold_conv("MobilenetV2/Conv")
+    for i in range(len(_BLOCKS)):
+        name = "MobilenetV2/expanded_conv" + ("" if i == 0 else "_%d" % i)
+        if _BLOCKS[i][0]:
+            fold_conv(name + "/expand")
+        fold_conv(name + "/depthwise", depthwise=True)
+        fold_conv(name + "/project")
+    fold_conv("aspp0", eps=HEAD_BN_EPS)
+    fold_conv("image_pooling", eps=HEAD_BN_EPS)
+    fold_conv("concat_projection", eps=HEAD_BN_EPS)
+    out["logits/semantic/weights"] = jnp.asarray(
+        params["logits/semantic/weights"])
+    out["logits/semantic/biases"] = jnp.asarray(
+        params["logits/semantic/biases"])
+    return out
+
+
+def student_forward_folded(folded: Params, frames, class_indices=None, *,
+                           compute_dtype=jnp.bfloat16, out_hw="input"):
+    """Forward through the folded client model (no batch-norm ops)."""
+    cd = compute_dtype
+    b, h, w, _ = frames.shape
+    x = preprocess(frames)
+
+    def conv(prefix, x, stride=1, rate=1, act=None):
+        y = layers.conv2d(x, folded[prefix + "/weights"], stride=stride,
+                          rate=rate, compute_dtype=cd)
+        y = y + folded[prefix + "/folded_bias"].astype(y.dtype)
+        return act(y) if act else y
+
+    def dwconv(prefix, x, stride=1, rate=1, act=None):
+        y = layers.depthwise_conv2d(x, folded[prefix + "/depthwise_weights"],
+                                    stride=stride, rate=rate,
+                                    compute_dtype=cd)
+        y = y + folded[prefix + "/folded_bias"].astype(y.dtype)
+        return act(y) if act else y
+
+    x = conv("MobilenetV2/Conv", x, stride=2, act=layers.relu6)
+    cin = STEM_CHANNELS
+    for i, (exp, cout, stride, rate) in enumerate(_BLOCKS):
+        name = "MobilenetV2/expanded_conv" + ("" if i == 0 else "_%d" % i)
+        inp = x
+        if exp:
+            x = conv(name + "/expand", x, act=layers.relu6)
+        x = dwconv(name + "/depthwise", x, stride=stride, rate=rate,
+                   act=layers.relu6)
+        x = conv(name + "/project", x)
+        if stride == 1 and cin == cout:
+            x = x + inp
+        cin = cout
+
+    fh, fw = x.shape[1], x.shape[2]
+    pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    pooled = conv("image_pooling", pooled.astype(x.dtype), act=jax.nn.relu)
+    pooled = jnp.broadcast_to(pooled, (b, fh, fw, pooled.shape[-1]))
+    aspp = conv("aspp0", x, act=jax.nn.relu)
+    y = jnp.concatenate([pooled.astype(aspp.dtype), aspp], -1)
+    y = conv("concat_projection", y, act=jax.nn.relu)
+    y = layers.conv2d(y, folded["logits/semantic/weights"], compute_dtype=cd)
+    y = y + folded["logits/semantic/biases"].astype(y.dtype)
+    if class_indices is not None:
+        y = jnp.take(y, jnp.asarray(class_indices), axis=-1)
+    if out_hw is None:
+        return y
+    if out_hw == "input":
+        out_hw = (h, w)
+    return resize_bilinear_ac(y.astype(jnp.float32), out_hw)

@@ -216,6 +216,8 @@ def deeplab_head(params: Params, feat, out_hw, *, train: bool = False,
 
     x = layers.conv2d(x, params["logits/semantic/weights"], compute_dtype=cd)
     x = x + params["logits/semantic/biases"].astype(x.dtype)
+    if out_hw is None:
+        return x  # grid-level logits (fast paths fuse the upsample)
     # Final align-corners bilinear resize straight to the pre-pad input size
     # (meta node ResizeBilinear_2 driven by Shape(features)[1:3]).
     return resize_bilinear_ac(x.astype(jnp.float32), out_hw)
@@ -236,6 +238,31 @@ def student_logits(params: Params, frames, *, train: bool = False,
                     compute_dtype=compute_dtype)
     return deeplab_head(params, feat, (h, w), train=train,
                         stats_out=stats_out, compute_dtype=compute_dtype)
+
+
+def student_grid_logits(params: Params, frames, *, train: bool = False,
+                        compute_dtype=jnp.bfloat16):
+    """Forward stopping at the feature-grid logits (no final upsample)."""
+    x = preprocess(frames)
+    feat = backbone(params, x, train=train, compute_dtype=compute_dtype)
+    return deeplab_head(params, feat, None, train=train,
+                        compute_dtype=compute_dtype)
+
+
+def student_predict_fast(params: Params, frames, class_indices, *,
+                         train: bool = False, interpret: bool = False):
+    """Fast client inference: bf16 forward + the fused Pallas
+    upsample+argmax kernel (ops.fused_resize_argmax) — never materializes
+    the full-resolution logits.  Class gather commutes with the per-channel
+    resize, so predictions equal the precise path's off float ties.
+    """
+    from ams_tpu.ops.fused_resize_argmax import fused_resize_argmax
+
+    b, h, w, _ = frames.shape
+    grid = student_grid_logits(params, frames, train=train,
+                               compute_dtype=jnp.bfloat16)
+    grid = jnp.take(grid.astype(jnp.float32), jnp.asarray(class_indices), -1)
+    return fused_resize_argmax(grid, (h, w), interpret=interpret)
 
 
 def student_forward(params: Params, frames, class_indices,

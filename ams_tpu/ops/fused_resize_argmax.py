@@ -1,0 +1,115 @@
+"""Fused align-corners bilinear upsample + per-pixel argmax (Pallas, TPU).
+
+The client's hot path ends with upsampling the logits grid (e.g. 33x65x19)
+to the frame size (512x512x19, align-corners bilinear) and taking the class
+argmax (meta node ResizeBilinear_2 + the reduced-logits argmax).  Done
+naively, the full-resolution logits hit HBM: batch 32 at 512x512x19 f32 is
+~640 MB of writes+reads per step — the dominant memory traffic of the whole
+student forward.
+
+This kernel exploits separability: align-corners resize is a pair of linear
+maps, ``out = R @ L @ C^T`` with R (H x gh) and C (W x gw) holding the lerp
+weights (2 nonzeros per row).  Each program tile computes
+
+    A = R_tile @ reshape(L, (gh, gw*C))          # MXU
+    T = dot_general(A~(TH,gw,C), Cm~(gw,W))      # MXU, contract gw
+    out_tile = argmax_c T                        # VPU
+
+entirely in VMEM (the whole logits grid fits: 33*65*19*4B ~ 163 KB) and
+writes only the int32 class ids — a ~70x reduction in HBM traffic for the
+resize+argmax stage.
+
+Used by the fast client inference path; the precise (bit-match) path keeps
+models.resize.resize_bilinear_ac.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def _resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) dense align-corners lerp matrix, 2 nnz/row.
+
+    Pure NumPy (callable inside a jit trace without staging).
+    """
+    scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.minimum(np.floor(src).astype(np.int32), in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - w)
+    np.add.at(m, (rows, hi), w)
+    return m
+
+
+def _kernel(l_ref, r_ref, c_ref, o_ref):
+    gh, gw, nc = l_ref.shape[1], l_ref.shape[2], l_ref.shape[3]
+    th = r_ref.shape[0]
+    w_out = c_ref.shape[1]
+    logits = l_ref[0].astype(jnp.float32).reshape(gh, gw * nc)
+    a = jnp.dot(r_ref[:], logits, preferred_element_type=jnp.float32)
+    a = a.reshape(th, gw, nc)
+    # contract the source-width axis: (TH, gw, C) x (gw, W) -> (TH, C, W)
+    t = jax.lax.dot_general(
+        a, c_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (TH, C, W)
+    o_ref[0] = jnp.argmax(t, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "tile_h", "interpret"))
+def fused_resize_argmax(logits_grid, out_hw, tile_h: int = 64,
+                        interpret: bool = False):
+    """argmax_c(resize_bilinear_ac(logits_grid, out_hw)) without the
+    full-resolution intermediate.
+
+    Args:
+        logits_grid: (B, gh, gw, C) float logits at the feature grid.
+        out_hw: static (H, W) output size.
+        tile_h: output rows per program.
+        interpret: run in interpreter mode (CPU tests).
+
+    Returns:
+        (B, H, W) int32 class ids.
+    """
+    b, gh, gw, nc = logits_grid.shape
+    h, w = int(out_hw[0]), int(out_hw[1])
+    while h % tile_h:
+        tile_h //= 2
+    r = jnp.asarray(_resize_matrix(gh, h))          # (H, gh)
+    c = jnp.asarray(_resize_matrix(gw, w).T)        # (gw, W)
+
+    grid = (b, h // tile_h)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, gh, gw, nc), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, gh), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gw, w), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(logits_grid, r, c)
+
+
+def resize_argmax_reference(logits_grid, out_hw):
+    """XLA reference implementation (for parity tests and as fallback)."""
+    from ams_tpu.models.resize import resize_bilinear_ac
+
+    full = resize_bilinear_ac(logits_grid.astype(jnp.float32), out_hw)
+    return jnp.argmax(full, -1).astype(jnp.int32)

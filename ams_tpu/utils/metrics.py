@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -55,6 +56,47 @@ def iou_from_confusion(cm):
     tp = jnp.diagonal(cm)
     denom = cm.sum(axis=0) + cm.sum(axis=1) - tp
     return jnp.where(denom > 0, tp / jnp.maximum(denom, 1.0), jnp.nan)
+
+
+def prob_confmat(student_labels, teacher_probs, num_classes):
+    """Probability-weighted ("soft") confusion matrix (graph_utils.py:265-285).
+
+    Row i accumulates the teacher's full probability vectors over pixels the
+    student labelled i.  Returns the (num_classes, num_classes) matrix for
+    one batch; accumulate across batches by summing, and derive soft mIoU
+    with ``soft_miou``.
+    """
+    labels = jnp.asarray(student_labels).reshape(-1).astype(jnp.int32)
+    probs = jnp.asarray(teacher_probs, jnp.float32)
+    probs = probs.reshape(-1, probs.shape[-1])
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    # mat[p, i] = sum over pixels with student label i of teacher prob p
+    return jnp.einsum("np,ni->pi", probs, onehot)
+
+
+def prob_confmat_star(student_labels, teacher_labels, weights, teacher_probs,
+                      num_classes):
+    """Soft confusion matrices for student and teacher labelings restricted
+    to valid pixels (graph_utils.py:288-317).  Returns (mat_student,
+    mat_teacher)."""
+    w = jnp.asarray(weights, jnp.float32).reshape(-1)
+    probs = jnp.asarray(teacher_probs, jnp.float32)
+    probs = probs.reshape(-1, probs.shape[-1]) * w[:, None]
+    sl = jnp.asarray(student_labels).reshape(-1).astype(jnp.int32)
+    tl = jnp.asarray(teacher_labels).reshape(-1).astype(jnp.int32)
+    oh_s = jax.nn.one_hot(sl, num_classes, dtype=jnp.float32)
+    oh_t = jax.nn.one_hot(tl, num_classes, dtype=jnp.float32)
+    return (jnp.einsum("np,ni->pi", probs, oh_s),
+            jnp.einsum("np,ni->pi", probs, oh_t))
+
+
+def soft_miou(acc_mat):
+    """mIoU from an accumulated soft confusion matrix (graph_utils.py:279-283
+    convention: tp on the diagonal, denominator row+col-tp, plain mean)."""
+    mat = jnp.asarray(acc_mat, jnp.float32)
+    tp = jnp.diagonal(mat)
+    iou = tp / (mat.sum(axis=1) + mat.sum(axis=0) - tp)
+    return jnp.mean(iou)
 
 
 def calculate_miou(conf_matrix, population=False, detailed=False, nan=False):

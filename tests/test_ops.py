@@ -1,0 +1,47 @@
+"""Pallas kernel tests (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ams_tpu.ops.fused_resize_argmax import (
+    _resize_matrix,
+    fused_resize_argmax,
+    resize_argmax_reference,
+)
+from ams_tpu.models.resize import resize_bilinear_ac
+
+
+def test_resize_matrix_equals_gather_lerp():
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 9, 13, 4).astype(np.float32)
+    out = np.asarray(resize_bilinear_ac(jnp.asarray(x), (33, 65)))
+    r = _resize_matrix(9, 33)
+    c = _resize_matrix(13, 65)
+    want = np.einsum("Hg,bgwc,Ww->bHWc", r, x, c)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_resize_argmax_matches_reference():
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(2, 5, 9, 19).astype(np.float32) * 3)
+    got = fused_resize_argmax(logits, (64, 128), tile_h=16, interpret=True)
+    want = resize_argmax_reference(logits, (64, 128))
+    got, want = np.asarray(got), np.asarray(want)
+    # matmul-form lerp can differ from gather-form at exact float ties;
+    # require equality off near-tie pixels
+    full = np.asarray(resize_bilinear_ac(logits, (64, 128)))
+    srt = np.sort(full, -1)
+    decisive = (srt[..., -1] - srt[..., -2]) > 1e-5
+    assert decisive.mean() > 0.999
+    np.testing.assert_array_equal(got[decisive], want[decisive])
+
+
+def test_fused_resize_argmax_identity_grid():
+    rng = np.random.RandomState(2)
+    logits = jnp.asarray(rng.randn(1, 16, 32, 7).astype(np.float32))
+    got = fused_resize_argmax(logits, (16, 32), tile_h=8, interpret=True)
+    want = np.argmax(np.asarray(logits), -1)
+    np.testing.assert_array_equal(np.asarray(got), want)
