@@ -52,18 +52,22 @@ def _resize_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 
 def _kernel(l_ref, r_ref, c_ref, o_ref):
-    gh, gw, nc = l_ref.shape[1], l_ref.shape[2], l_ref.shape[3]
+    # l_ref: (1, C, gh, gw) class-major grid logits; per class two small 2-D
+    # MXU matmuls upsample, and a running (max, argmax) pair on the VPU
+    # replaces the C-dim reduction — rank-2 ops only (Mosaic-friendly).
+    nc = l_ref.shape[1]
     th = r_ref.shape[0]
     w_out = c_ref.shape[1]
-    logits = l_ref[0].astype(jnp.float32).reshape(gh, gw * nc)
-    a = jnp.dot(r_ref[:], logits, preferred_element_type=jnp.float32)
-    a = a.reshape(th, gw, nc)
-    # contract the source-width axis: (TH, gw, C) x (gw, W) -> (TH, C, W)
-    t = jax.lax.dot_general(
-        a, c_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (TH, C, W)
-    o_ref[0] = jnp.argmax(t, axis=1).astype(jnp.int32)
+    best_val = jnp.full((th, w_out), -jnp.inf, jnp.float32)
+    best_idx = jnp.zeros((th, w_out), jnp.int32)
+    for c in range(nc):
+        lc = l_ref[0, c].astype(jnp.float32)                   # (gh, gw)
+        a = jnp.dot(r_ref[:], lc, preferred_element_type=jnp.float32)
+        t = jnp.dot(a, c_ref[:], preferred_element_type=jnp.float32)
+        win = t > best_val   # strict >: ties keep the lowest class id
+        best_idx = jnp.where(win, c, best_idx)
+        best_val = jnp.maximum(best_val, t)
+    o_ref[0] = best_idx
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "tile_h", "interpret"))
@@ -87,6 +91,8 @@ def fused_resize_argmax(logits_grid, out_hw, tile_h: int = 64,
         tile_h //= 2
     r = jnp.asarray(_resize_matrix(gh, h))          # (H, gh)
     c = jnp.asarray(_resize_matrix(gw, w).T)        # (gw, W)
+    # class-major layout so each class is a contiguous 2-D plane in VMEM
+    grid_logits = jnp.transpose(logits_grid, (0, 3, 1, 2))
 
     grid = (b, h // tile_h)
     return pl.pallas_call(
@@ -94,7 +100,7 @@ def fused_resize_argmax(logits_grid, out_hw, tile_h: int = 64,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, gh, gw, nc), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, nc, gh, gw), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, gh), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -104,7 +110,7 @@ def fused_resize_argmax(logits_grid, out_hw, tile_h: int = 64,
         out_specs=pl.BlockSpec((1, tile_h, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(logits_grid, r, c)
+    )(grid_logits, r, c)
 
 
 def resize_argmax_reference(logits_grid, out_hw):

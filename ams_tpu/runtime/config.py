@@ -40,6 +40,8 @@ class RunConfig:
     early_cutoff_time: int = 60
 
     compute_dtype: str = "float32"     # "bfloat16" = fast TPU path
+    resume: bool = False               # continue from the last saved event
+    resume_every_event: bool = True    # persist a resume bundle per event
 
     def validate(self):
         assert not self.enable_ATR or self.enable_ASR, \

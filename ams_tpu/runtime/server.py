@@ -93,6 +93,33 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
     network.save_to_frozen_graph(save_dir + "_final")
     print_process("Saved model to %s_final.npz" % save_dir, 0)
 
+    resume_prefix = get_save_dir(cfg, run_label)
+    if cfg.resume:
+        from ams_tpu.runtime import resume as resume_mod
+        bundle = resume_mod.load_state(resume_prefix)
+        if bundle is not None:
+            arrays, meta = bundle
+            resume_mod.restore_network(network, arrays)
+            resume_mod.restore_memory(memory, arrays)
+            i = int(meta["second"])
+            reader.seek_frame(i)
+            send_rate = meta["send_rate"]
+            sample_per_period = list(meta["sample_per_period"])
+            up_bw_per_period = list(meta["up_bw"])
+            down_bw_per_period = list(meta["down_bw"])
+            model_save_times = list(meta["model_save_times"])
+            save_range = list(meta["save_range"])
+            trained_seconds = set(meta["trained_seconds"])
+            update_count = int(meta["update_count"])
+            if atr is not None and meta.get("atr"):
+                atr.hibernating = meta["atr"]["hibernating"]
+                atr.current = meta["atr"]["current"]
+                for r in meta["atr"]["history"]:
+                    atr.send_rate_history.append(r)
+            save_dir = get_save_dir(
+                cfg, run_label + "_%d" % (i // fps))
+            print_process("Resumed from frame %d" % i, i / fps)
+
     while i < train_end_frame:
         frame = reader.read_or_die()
         gt = load_gt_label(gt_path, i)
@@ -201,6 +228,21 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             network.save_to_frozen_graph(save_dir + "_final")
             print_process("Saved model to %s_final.npz" % save_dir, i / fps)
             model_save_times.append(i / fps)
+
+            if cfg.resume_every_event:
+                from ams_tpu.runtime import resume as resume_mod
+                resume_mod.save_state(
+                    resume_prefix, network=network, memory=memory,
+                    second=i, send_rate=send_rate,
+                    sample_per_period=sample_per_period,
+                    up_bw=up_bw_per_period, down_bw=down_bw_per_period,
+                    model_save_times=model_save_times,
+                    save_range=save_range, trained_seconds=trained_seconds,
+                    update_count=update_count,
+                    atr_state=None if atr is None else {
+                        "hibernating": atr.hibernating,
+                        "current": atr.current,
+                        "history": list(atr.send_rate_history)})
 
     network.close_model()
     final_save_dir = get_save_dir(cfg, run_label + "_results")

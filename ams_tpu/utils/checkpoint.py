@@ -96,6 +96,26 @@ def load_tf_checkpoint(prefix: str) -> dict:
     return out
 
 
+def save_orbax(path: str, params: Mapping[str, np.ndarray]) -> None:
+    """Production checkpointing via Orbax (async-capable, atomic renames).
+
+    The reference has only .npy dict snapshots; orbax adds durable,
+    versioned checkpoints for long-running multi-video servers.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), dict(params), force=True)
+
+
+def load_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    return {strip_suffix(k): np.asarray(v) for k, v in restored.items()}
+
+
 def load_any(path_or_prefix: str) -> dict:
     """Dispatch: .npy dict / .npz / TF checkpoint prefix."""
     if path_or_prefix.endswith(".npy"):
@@ -110,4 +130,6 @@ def load_any(path_or_prefix: str) -> dict:
         return load_any(path_or_prefix + ".npz")
     if os.path.exists(path_or_prefix + ".index"):
         return load_tf_checkpoint(path_or_prefix)
+    if os.path.isdir(path_or_prefix):
+        return load_orbax(path_or_prefix)
     raise FileNotFoundError(path_or_prefix)

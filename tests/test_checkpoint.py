@@ -1,0 +1,45 @@
+"""Checkpoint IO: npy dict (reference format), npz, orbax, filters."""
+
+import numpy as np
+import pytest
+
+from ams_tpu.utils import checkpoint as ckpt
+
+
+def test_npy_dict_roundtrip(tmp_path):
+    path = str(tmp_path / "model.npy")
+    params = {"a/weights": np.ones((2, 3), np.float32),
+              "a/weights/Adam": np.zeros((2, 3), np.float32),
+              "global_step": np.int64(7),
+              "b/biases:0": np.arange(3.0)}
+    ckpt.save_params(path, params)
+    loaded = ckpt.load_params(path)
+    # optimizer slots + global_step filtered, :0 suffix stripped
+    assert set(loaded) == {"a/weights", "b/biases"}
+    np.testing.assert_array_equal(loaded["b/biases"], np.arange(3.0))
+
+
+def test_merge_restore_shape_check():
+    base = {"w": np.zeros((2, 2)), "x": np.ones((3,))}
+    out = ckpt.merge_restore(base, {"w": np.ones((2, 2)), "unknown": np.ones(5)})
+    np.testing.assert_array_equal(out["w"], np.ones((2, 2)))
+    np.testing.assert_array_equal(out["x"], np.ones((3,)))
+    with pytest.raises(ValueError):
+        ckpt.merge_restore(base, {"w": np.ones((4, 4))})
+
+
+def test_orbax_roundtrip(tmp_path):
+    path = str(tmp_path / "orbax_ckpt")
+    params = {"layer/weights": np.random.RandomState(0).randn(4, 4)
+              .astype(np.float32)}
+    ckpt.save_orbax(path, params)
+    loaded = ckpt.load_any(path)
+    np.testing.assert_array_equal(loaded["layer/weights"],
+                                  params["layer/weights"])
+
+
+def test_load_any_npz(tmp_path):
+    path = str(tmp_path / "m.npz")
+    np.savez(path, **{"w": np.ones(3), "w/Adam": np.zeros(3)})
+    loaded = ckpt.load_any(path)
+    assert set(loaded) == {"w"}
