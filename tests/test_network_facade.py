@@ -1,0 +1,115 @@
+"""SemanticNetwork facade: API parity behaviours + thread safety."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from ams_tpu.runtime.network import SemanticNetwork
+
+
+def _cw(idx, n=19):
+    w = np.zeros((n, 1), np.float32)
+    w[list(idx)] = 1
+    return w
+
+
+@pytest.fixture(scope="module")
+def net():
+    return SemanticNetwork(meta_dir="nonexistent_synthetic",
+                           class_weights_exp=_cw([0, 2, 10, 13]), height=32,
+                           scale=[1], mini_batch_size=2, lr=1e-3)
+
+
+def test_predict_and_metric(net):
+    frames = np.random.RandomState(0).randint(
+        0, 256, (1, 32, 64, 3)).astype(np.float32)
+    labels = np.random.RandomState(1).randint(0, 19, (1, 32, 64))
+    preds = net.predict_input(frames)
+    assert preds.shape == (1, 32, 64) and preds.max() <= 3
+    out_preds, cm, iou, miou, loss = net.predict_with_metric(frames, labels)
+    assert cm.shape == (4, 4)
+    assert np.isfinite(loss)
+
+
+def test_train_round_and_delta_outputs(net):
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+              for _ in range(3)]
+    labels = [rng.randint(0, 19, (32, 64)).astype(np.uint8) for _ in range(3)]
+    losses = net.train_with_deque(frames, labels, 2, "coord_desc_auto")
+    assert losses.shape == (2,)
+    assert len(net.curr_mask) == len(net.train_params) == 164
+    # masks cover ~coord_frac of the trainable params
+    total = sum(m.size for m in net.curr_mask)
+    sel = sum(int(m.sum()) for m in net.curr_mask)
+    assert 0.05 < sel / total < 0.15
+    # full_model round ships every saveable var with all-ones masks
+    net.train_with_deque(frames, labels, 1, "full_model")
+    assert len(net.curr_mask) == 272
+    assert all(m.all() for m in net.curr_mask)
+
+
+def test_restore_initial_resets(net):
+    before = net.get_vars()
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+              for _ in range(2)]
+    labels = [rng.randint(0, 19, (32, 64)).astype(np.uint8)
+              for _ in range(2)]
+    net.train_with_deque(frames, labels, 1, "full_model")
+    changed = net.get_vars()
+    assert any((changed[k] != before[k]).any() for k in before)
+    net.restore_initial()
+    restored = net.get_vars()
+    # restore resets to construction-time weights
+    init = net._initial_params
+    for k in init:
+        np.testing.assert_array_equal(restored[k], np.asarray(init[k]))
+
+
+def test_cross_miou(net):
+    labels = np.random.RandomState(0).randint(0, 19, (2, 32, 64))
+    cm, iou, miou = net.calc_cross_miou(labels)
+    assert cm.shape == (4, 4)
+    ident = np.stack([labels[0], labels[0]])
+    _, _, miou_same = net.calc_cross_miou(ident)
+    assert miou_same == pytest.approx(1.0)
+
+
+def test_concurrent_predict_threads(net):
+    """The facade lock serializes concurrent callers (the reference guards
+    every session entry with process_lock, SemanticNetwork.py:70)."""
+    frames = np.random.RandomState(0).randint(
+        0, 256, (1, 32, 64, 3)).astype(np.float32)
+    results, errors = [], []
+
+    def worker():
+        try:
+            results.append(net.predict_input(frames))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 8
+    for r in results[1:]:
+        np.testing.assert_array_equal(r, results[0])
+
+
+def test_frozen_roundtrip(net, tmp_path):
+    path = str(tmp_path / "deployed")
+    net.save_to_frozen_graph(path)
+    client = SemanticNetwork(meta_dir=path,
+                             class_weights_exp=_cw([0, 2, 10, 13]),
+                             height=32, frozen=True)
+    frames = np.random.RandomState(0).randint(
+        0, 256, (1, 32, 64, 3)).astype(np.float32)
+    preds = client.predict_input(frames)
+    assert preds.shape == (1, 32, 64)
+    with pytest.raises(AssertionError):
+        client.train_with_deque([], [], 1)
