@@ -111,6 +111,7 @@ _add(45, 21, [0, 15], 500, coco=True, dataset="lvs")  # 59.94fps clip
 # are reserved for ams_tpu.data.video.write_synthetic_clip outputs).
 _add(90, 19, [0, 1, 2, 8, 10], 8, dataset="synthetic")
 _add(91, 19, range(19), 8, dataset="synthetic")
+_add(92, 21, [0, 7, 15], 8, coco=True, dataset="synthetic")  # LVS-style
 
 
 def get_config(exp_num: int) -> VideoConfig:

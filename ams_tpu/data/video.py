@@ -11,7 +11,7 @@ run without dataset downloads.
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -89,7 +89,9 @@ def write_synthetic_clip(path: str, *, seconds: int = 4, fps: int = 10,
                          size_hw: Tuple[int, int] = (128, 256),
                          seed: int = 0,
                          gt_dir: Optional[str] = None,
-                         num_classes: int = 19) -> Tuple[str, Optional[str]]:
+                         num_classes: int = 19,
+                         label_values: Optional[Sequence[int]] = None,
+                         ) -> Tuple[str, Optional[str]]:
     """Generate a deterministic moving-pattern mp4 (+ optional gt pngs).
 
     The clip shows smooth horizontally-drifting color bands so that online
@@ -118,8 +120,12 @@ def write_synthetic_clip(path: str, *, seconds: int = 4, fps: int = 10,
         frame = np.stack([b, g, r], axis=-1).astype(np.uint8)
         writer.write(frame)
         if gt_dir is not None:
-            strata = ((yy + shift) / h * num_classes).astype(np.int64)
-            label = (strata % num_classes).astype(np.uint8)
+            n_vals = len(label_values) if label_values else num_classes
+            strata = ((yy + shift) / h * n_vals).astype(np.int64) % n_vals
+            if label_values:
+                label = np.asarray(label_values, np.uint8)[strata]
+            else:
+                label = strata.astype(np.uint8)
             cv2.imwrite(os.path.join(gt_dir, "gt_%06d.png" % t), label)
     writer.release()
     return path, gt_dir

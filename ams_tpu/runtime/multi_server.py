@@ -1,0 +1,163 @@
+"""Multi-video AMS server: concurrent fine-tuning of many edge clients.
+
+The reference achieves multi-video concurrency by launching one process per
+video on separate GPUs (SURVEY.md C21).  Here a single host drives V
+students on one TPU slice: every per-video state (params, Adam slots, masks,
+frame memories) carries a leading V axis, one jitted shard_map round trains
+every video's current window simultaneously (parallel.make_multi_video_round),
+and per-video deltas are encoded from the stacked outputs.
+
+Typical use:
+
+    server = MultiVideoServer(video_ids=[25, 22, 12, 17], height=256,
+                              batch_size=10, lr=1e-3,
+                              strategy="coord_desc_auto")
+    server.ingest(video_idx, frames, labels)     # per-video sample arrivals
+    losses = server.train_round(iters=200)       # trains ALL videos at once
+    blob = server.encode_delta(video_idx)        # downlink payload per video
+    server.deploy(video_idx, path)               # client model snapshot
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ams_tpu import configs as exp_configs
+from ams_tpu.data.buffers import FrameMemory
+from ams_tpu.distill.optimizer import adam_init
+from ams_tpu.distill.train_step import (
+    DistillSpec,
+    all_true_mask,
+    split_params,
+)
+from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+from ams_tpu.models.var_order import SAVEABLE_ORDER, TRAINABLE_ORDER
+from ams_tpu.parallel.mesh import make_mesh
+from ams_tpu.parallel.sharded import make_multi_video_round, stack_videos
+from ams_tpu.stream.codec import encode_delta
+
+
+class MultiVideoServer:
+    """V students trained concurrently on a device mesh.
+
+    Every video must share the model family and total class count (the
+    per-video CLASS SUBSET may differ — class selection happens in the loss
+    via each video's class-index vector; for simplicity this first version
+    requires a common subset size and pads the union).
+    """
+
+    def __init__(self, video_ids: Sequence[int], height: int,
+                 batch_size: int, lr: float,
+                 strategy: str = "full_model", coord_frac: float = 0.1,
+                 memory_capacity: int = 250, compute_dtype: str = "bfloat16",
+                 checkpoint: Optional[str] = None, seed: int = 0,
+                 mesh=None):
+        self.video_ids = list(video_ids)
+        self.V = len(self.video_ids)
+        self.height = height
+        self.lr = lr
+        self.strategy = strategy
+
+        n_classes = {exp_configs.num_classes(v) for v in self.video_ids}
+        assert len(n_classes) == 1, \
+            "all videos must share the total class count"
+        self.num_classes = n_classes.pop()
+        union = sorted(set().union(
+            *[set(exp_configs.class_indices(v).tolist())
+              for v in self.video_ids]))
+        self.class_indices = tuple(union)
+
+        self.mesh = mesh if mesh is not None else make_mesh(
+            min(self.V, len(jax.devices())))
+        self.spec = DistillSpec(
+            iters=1, batch_size=batch_size, num_classes=self.num_classes,
+            class_indices=self.class_indices, strategy=strategy,
+            coord_frac=coord_frac, compute_dtype=compute_dtype)
+        self._round_cache: Dict[int, object] = {}
+
+        if checkpoint:
+            from ams_tpu.utils import checkpoint as ckpt
+            base = init_student_params(jax.random.PRNGKey(seed),
+                                       num_classes=self.num_classes)
+            loaded = ckpt.merge_restore(base, ckpt.load_any(checkpoint))
+            per_video = [dict(loaded) for _ in range(self.V)]
+        else:
+            per_video = [init_student_params(jax.random.PRNGKey(seed + i),
+                                             num_classes=self.num_classes)
+                         for i in range(self.V)]
+        self._initial = per_video[0]
+        self.params_V = stack_videos([
+            {k: jnp.asarray(v) for k, v in p.items()} for p in per_video])
+        self.opt_V = stack_videos(
+            [adam_init(split_params(p)[0]) for p in per_video])
+        self.mask_V = stack_videos([all_true_mask(p) for p in per_video])
+        self.memories: List[FrameMemory] = [
+            FrameMemory(memory_capacity, height, height * 2)
+            for _ in range(self.V)]
+        self._rng = jax.random.PRNGKey(seed)
+        self.last_losses: Optional[np.ndarray] = None
+
+    # ----------------------------------------------------------- data
+
+    def ingest(self, video_idx: int, frames, labels) -> None:
+        """Append uplink samples for one video."""
+        self.memories[video_idx].extend(frames, labels)
+
+    # ------------------------------------------------------- training
+
+    def _round_fn(self, iters: int):
+        if iters not in self._round_cache:
+            import dataclasses
+            spec = dataclasses.replace(self.spec, iters=iters)
+            self._round_cache[iters] = make_multi_video_round(spec, self.mesh)
+        return self._round_cache[iters]
+
+    def train_round(self, iters: int) -> np.ndarray:
+        """One distillation round for EVERY video; (V, iters) loss trace."""
+        bufs = [m.device_buffers() for m in self.memories]
+        frames_V = jnp.asarray(np.stack([b[0] for b in bufs]))
+        labels_V = jnp.asarray(np.stack([b[1] for b in bufs]))
+        n_valid_V = jnp.asarray([max(b[2], 1) for b in bufs], jnp.int32)
+        self._rng, sub = jax.random.split(self._rng)
+        rngs_V = jax.random.split(sub, self.V)
+        round_fn = self._round_fn(iters)
+        with self.mesh:
+            self.params_V, self.opt_V, self.mask_V, losses = round_fn(
+                self.params_V, self.opt_V, frames_V, labels_V, n_valid_V,
+                rngs_V, jnp.float32(self.lr), self.mask_V)
+        self.last_losses = np.asarray(losses)
+        return self.last_losses
+
+    def restore_initial(self, video_idx: Optional[int] = None) -> None:
+        """Reset one (or all) videos to the pretrained weights."""
+        init = {k: np.asarray(v) for k, v in self._initial.items()}
+        host = {k: np.array(v) for k, v in self.params_V.items()}  # writable
+        idxs = range(self.V) if video_idx is None else [video_idx]
+        for k in host:
+            for i in idxs:
+                host[k][i] = init[k]
+        self.params_V = {k: jnp.asarray(v) for k, v in host.items()}
+
+    # ------------------------------------------------------- downlink
+
+    def video_params(self, video_idx: int) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(v[video_idx])
+                for k, v in self.params_V.items()}
+
+    def video_mask(self, video_idx: int) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(v[video_idx])
+                for k, v in self.mask_V.items()}
+
+    def encode_delta(self, video_idx: int) -> bytes:
+        params = self.video_params(video_idx)
+        masks = self.video_mask(video_idx) \
+            if self.strategy.startswith("coord_desc_") else None
+        return encode_delta(params, masks, strategy=self.strategy)
+
+    def deploy(self, video_idx: int, path: str) -> None:
+        np.savez(path + ".npz", **self.video_params(video_idx))

