@@ -42,6 +42,7 @@ class RunConfig:
     compute_dtype: str = "float32"     # "bfloat16" = fast TPU path
     resume: bool = False               # continue from the last saved event
     resume_every_event: bool = True    # persist a resume bundle per event
+    trace_dir: str = ""                # JAX profiler trace output (xprof)
 
     def validate(self):
         assert not self.enable_ATR or self.enable_ASR, \

@@ -15,8 +15,18 @@ from ams_tpu.runtime.server import train_model
 
 
 def run_experiment(cfg: RunConfig) -> None:
+    from ams_tpu.utils.trace import GLOBAL_TIMER, profile_trace
+
     cfg.validate()
     os.makedirs(cfg.output_dir, exist_ok=True)
+    with profile_trace(cfg.trace_dir or None):
+        with GLOBAL_TIMER.span("experiment"):
+            _run_experiment(cfg)
+    if GLOBAL_TIMER.counts:
+        print(GLOBAL_TIMER.summary())
+
+
+def _run_experiment(cfg: RunConfig) -> None:
     vid_num = exp_configs.video_exp_num(cfg.input_video)
     length = exp_configs.test_length(vid_num)
 

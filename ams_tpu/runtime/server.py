@@ -29,6 +29,7 @@ from ams_tpu.runtime.network import SemanticNetwork
 from ams_tpu.stream import uplink as uplink_codec
 from ams_tpu.stream.codec import encode_delta
 from ams_tpu.stream.controllers import ASRController, ATRController
+from ams_tpu.utils.trace import GLOBAL_TIMER
 
 try:
     import cv2
@@ -203,8 +204,9 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             if not cfg.no_restore:
                 network.restore_initial()
             t1 = time.time()
-            network.train_with_deque(memory.frames, memory.labels, cfg.iter,
-                                     cfg.train_strategy)
+            with GLOBAL_TIMER.span("server/train_round"):
+                network.train_with_deque(memory.frames, memory.labels,
+                                         cfg.iter, cfg.train_strategy)
             print("Training for %d iterations took %d ms!!!"
                   % (cfg.iter, 1000 * (time.time() - t1)))
 
@@ -215,8 +217,9 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             masks_by_name = dict(zip(
                 _delta_names(network, cfg.train_strategy),
                 network.curr_mask))
-            blob = encode_delta(params_by_name, masks_by_name,
-                                strategy=cfg.train_strategy)
+            with GLOBAL_TIMER.span("server/delta_encode"):
+                blob = encode_delta(params_by_name, masks_by_name,
+                                    strategy=cfg.train_strategy)
             with open(save_dir + "_mask.dat.gz", "wb") as f:
                 f.write(blob)
             curr_update = len(blob) * 8

@@ -64,6 +64,8 @@ def build_parser():
                    help="Continue a crashed run from its last saved event")
     p.add_argument("--no_resume_state", action="store_true",
                    help="Don't persist per-event resume bundles")
+    p.add_argument("--trace_dir", default="",
+                   help="Write a JAX profiler trace (view with xprof)")
     return p
 
 
@@ -83,7 +85,8 @@ def main(argv=None):
         coord_fraction=float(args.coord_fraction), mode=args.mode,
         early_cutoff_time=args.early_cutoff_time,
         compute_dtype=args.compute_dtype, resume=args.resume,
-        resume_every_event=not args.no_resume_state)
+        resume_every_event=not args.no_resume_state,
+        trace_dir=args.trace_dir)
     run_experiment(cfg)
 
 
