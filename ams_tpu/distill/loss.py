@@ -46,7 +46,7 @@ def masked_mean(x, mask):
 
 def distill_loss(params, frames, labels, class_indices, num_classes, *,
                  train=True, teacher_logits=None, compute_dtype=jnp.float32,
-                 stats_out=None):
+                 stats_out=None, precision=None):
     """Scalar distillation loss + aux dict.
 
     Args:
@@ -63,7 +63,7 @@ def distill_loss(params, frames, labels, class_indices, num_classes, *,
         (loss, aux) with aux = {'predictions', 'weights', 'logits_reduced'}.
     """
     logits = student_logits(params, frames, train=train, stats_out=stats_out,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, precision=precision)
     reduced_logits = jnp.take(logits, jnp.asarray(class_indices), axis=-1)
     reduced_labels, weights, filtered_onehot = reduce_labels(
         labels, class_indices, num_classes)

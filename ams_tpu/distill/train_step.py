@@ -53,10 +53,20 @@ class DistillSpec:
     # and psums for pooling/BN reductions).  None = single chip.
     batch_axis: Optional[str] = None
     width_axis: Optional[str] = None
+    # Conv accumulation: "auto" = HIGHEST for f32 (bit-parity numerics),
+    # DEFAULT for bf16.  "default" gives standard TPU training numerics for
+    # f32 parameters (single-pass MXU, ~2x faster rounds than HIGHEST).
+    conv_precision: str = "auto"
 
     @property
     def cdtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def precision(self):
+        from jax import lax
+        return {"auto": None, "default": lax.Precision.DEFAULT,
+                "highest": lax.Precision.HIGHEST}[self.conv_precision]
 
 
 def split_params(params):
@@ -110,7 +120,8 @@ def make_distill_round(spec: DistillSpec):
             merged.update(bn_state)
             loss, _aux = distill_loss(
                 merged, frames, labels, ci, spec.num_classes, train=True,
-                compute_dtype=spec.cdtype, stats_out=stats_cap)
+                compute_dtype=spec.cdtype, stats_out=stats_cap,
+                precision=spec.precision)
             return loss, stats_cap
 
         def body(carry, it):

@@ -165,11 +165,12 @@ def _bn(params, prefix, x, train, stats_out, eps=layers.BN_EPS):
 
 
 def backbone(params: Params, x, *, train: bool = False, stats_out=None,
-             compute_dtype=jnp.float32):
+             compute_dtype=jnp.float32, precision=None):
     """MobileNetV2 trunk on preprocessed input; returns (B, h/16, w/16, 320)."""
     cd = compute_dtype
+    pr = precision
     x = layers.conv2d(x, params["MobilenetV2/Conv/weights"], stride=2,
-                      compute_dtype=cd)
+                      compute_dtype=cd, precision=pr)
     x = layers.relu6(_bn(params, "MobilenetV2/Conv", x, train, stats_out))
     cin = STEM_CHANNELS
     for i, (exp, cout, stride, rate) in enumerate(_BLOCKS):
@@ -177,14 +178,14 @@ def backbone(params: Params, x, *, train: bool = False, stats_out=None,
         inp = x
         if exp:
             x = layers.conv2d(x, params[name + "/expand/weights"],
-                              compute_dtype=cd)
+                              compute_dtype=cd, precision=pr)
             x = layers.relu6(_bn(params, name + "/expand", x, train, stats_out))
         x = layers.depthwise_conv2d(
             x, params[name + "/depthwise/depthwise_weights"],
-            stride=stride, rate=rate, compute_dtype=cd)
+            stride=stride, rate=rate, compute_dtype=cd, precision=pr)
         x = layers.relu6(_bn(params, name + "/depthwise", x, train, stats_out))
         x = layers.conv2d(x, params[name + "/project/weights"],
-                          compute_dtype=cd)
+                          compute_dtype=cd, precision=pr)
         x = _bn(params, name + "/project", x, train, stats_out)
         if stride == 1 and cin == cout:
             x = x + inp
@@ -193,28 +194,32 @@ def backbone(params: Params, x, *, train: bool = False, stats_out=None,
 
 
 def deeplab_head(params: Params, feat, out_hw, *, train: bool = False,
-                 stats_out=None, compute_dtype=jnp.float32):
+                 stats_out=None, compute_dtype=jnp.float32, precision=None):
     """ASPP (1x1 + image pooling) -> projection -> per-class logits."""
     cd = compute_dtype
+    pr = precision
     fh, fw = feat.shape[1], feat.shape[2]
 
     pooled = jnp.mean(feat.astype(jnp.float32), axis=(1, 2), keepdims=True)
     pooled = layers.conv2d(pooled, params["image_pooling/weights"],
-                           compute_dtype=cd)
+                           compute_dtype=cd, precision=pr)
     pooled = jax.nn.relu(_bn(params, "image_pooling", pooled, train, stats_out,
                              eps=HEAD_BN_EPS))
     pooled = jnp.broadcast_to(pooled, (feat.shape[0], fh, fw, pooled.shape[-1]))
 
-    aspp = layers.conv2d(feat, params["aspp0/weights"], compute_dtype=cd)
+    aspp = layers.conv2d(feat, params["aspp0/weights"], compute_dtype=cd,
+                         precision=pr)
     aspp = jax.nn.relu(_bn(params, "aspp0", aspp, train, stats_out,
                            eps=HEAD_BN_EPS))
 
     x = jnp.concatenate([pooled.astype(aspp.dtype), aspp], axis=-1)
-    x = layers.conv2d(x, params["concat_projection/weights"], compute_dtype=cd)
+    x = layers.conv2d(x, params["concat_projection/weights"],
+                      compute_dtype=cd, precision=pr)
     x = jax.nn.relu(_bn(params, "concat_projection", x, train, stats_out,
                         eps=HEAD_BN_EPS))
 
-    x = layers.conv2d(x, params["logits/semantic/weights"], compute_dtype=cd)
+    x = layers.conv2d(x, params["logits/semantic/weights"],
+                      compute_dtype=cd, precision=pr)
     x = x + params["logits/semantic/biases"].astype(x.dtype)
     if out_hw is None:
         return x  # grid-level logits (fast paths fuse the upsample)
@@ -224,7 +229,8 @@ def deeplab_head(params: Params, feat, out_hw, *, train: bool = False,
 
 
 def student_logits(params: Params, frames, *, train: bool = False,
-                   stats_out=None, compute_dtype=jnp.float32):
+                   stats_out=None, compute_dtype=jnp.float32,
+                   precision=None):
     """Full student forward: raw frames -> per-pixel class logits.
 
     frames: (B, H, W, 3) in [0, 255]; returns (B, H, W, num_classes) f32.
@@ -235,9 +241,10 @@ def student_logits(params: Params, frames, *, train: bool = False,
     b, h, w, _ = frames.shape
     x = preprocess(frames)
     feat = backbone(params, x, train=train, stats_out=stats_out,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, precision=precision)
     return deeplab_head(params, feat, (h, w), train=train,
-                        stats_out=stats_out, compute_dtype=compute_dtype)
+                        stats_out=stats_out, compute_dtype=compute_dtype,
+                        precision=precision)
 
 
 def student_grid_logits(params: Params, frames, *, train: bool = False,

@@ -40,6 +40,7 @@ class RunConfig:
     early_cutoff_time: int = 60
 
     compute_dtype: str = "float32"     # "bfloat16" = fast TPU path
+    conv_precision: str = "auto"       # auto|default|highest (see DistillSpec)
     resume: bool = False               # continue from the last saved event
     resume_every_event: bool = True    # persist a resume bundle per event
     trace_dir: str = ""                # JAX profiler trace output (xprof)

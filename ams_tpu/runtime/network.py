@@ -56,7 +56,7 @@ class SemanticNetwork:
                  frozen=False, scale=None, mini_batch_size=None, lr=None,
                  coord_frac=0.1, cross_miou_compat=False,
                  over_ride_total_classes=None, compute_dtype="float32",
-                 seed=0, **_unused):
+                 conv_precision="auto", seed=0, **_unused):
         assert height is not None, "No height is given"
         assert class_weights_exp is not None, "No class weights specified"
         assert frozen or None not in (scale, mini_batch_size, lr), \
@@ -72,6 +72,7 @@ class SemanticNetwork:
         self.frozen = frozen
         self.meta_dir = meta_dir
         self.compute_dtype = compute_dtype
+        self.conv_precision = conv_precision
 
         cw = np.asarray(class_weights_exp).reshape(-1)
         assert cw.shape == (self.TOTAL_CLASSES,)
@@ -224,7 +225,8 @@ class SemanticNetwork:
                 num_classes=self.TOTAL_CLASSES,
                 class_indices=tuple(self.class_indices_graph),
                 strategy=strategy, coord_frac=self.coord_frac,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                conv_precision=self.conv_precision)
             self._round_cache[key] = make_distill_round(spec)
         return self._round_cache[key]
 

@@ -88,6 +88,7 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
         height=cfg.height, scale=[1], mini_batch_size=cfg.batch_size,
         lr=cfg.lr, coord_frac=cfg.coord_fraction,
         cross_miou_compat=cfg.enable_ASR, compute_dtype=cfg.compute_dtype,
+        conv_precision=cfg.conv_precision,
         over_ride_total_classes=exp_configs.num_classes(exp_num))
 
     save_dir = get_save_dir(cfg, run_label + "_%d" % train_start)

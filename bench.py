@@ -14,9 +14,16 @@ fails to compile on the target.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compile cache: repeated driver runs skip the multi-minute
+# remote compile (must be set before the JAX backend initializes).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/ams_tpu_tpu_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def _measure(forward, params, frames, batch, iters=15):

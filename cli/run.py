@@ -60,6 +60,11 @@ def build_parser():
     p.add_argument("--early_cutoff_time", type=int, default=60)
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="float32")
+    p.add_argument("--conv_precision", choices=["auto", "default", "highest"],
+                   default="auto",
+                   help="Conv accumulation: 'default' = standard TPU training "
+                        "numerics for f32 params (~2x faster rounds than the "
+                        "bit-parity 'highest')")
     p.add_argument("--resume", action="store_true",
                    help="Continue a crashed run from its last saved event")
     p.add_argument("--no_resume_state", action="store_true",
@@ -84,7 +89,8 @@ def main(argv=None):
         enable_ATR=args.enable_ATR, train_strategy=args.train_strategy,
         coord_fraction=float(args.coord_fraction), mode=args.mode,
         early_cutoff_time=args.early_cutoff_time,
-        compute_dtype=args.compute_dtype, resume=args.resume,
+        compute_dtype=args.compute_dtype, conv_precision=args.conv_precision,
+        resume=args.resume,
         resume_every_event=not args.no_resume_state,
         trace_dir=args.trace_dir)
     run_experiment(cfg)

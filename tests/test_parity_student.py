@@ -54,6 +54,29 @@ def test_logits_match_tf_training_mode(student_parity_fixture):
     assert np.array_equal(ours.argmax(-1)[decisive], ref.argmax(-1)[decisive])
 
 
+def test_logits_match_tf_at_production_size():
+    """Same gate at the default experiment resolution (256x512, batch 1)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "student_parity_h256.npz")
+    if not os.path.exists(path):
+        pytest.skip("h256 fixture missing")
+    with np.load(path) as z:
+        params = {k[len("param:"):]: jnp.asarray(z[k]) for k in z.files
+                  if k.startswith("param:") and "_patch" not in k}
+        frames = jnp.asarray(z["frames"])
+        ref = z["logits_train_bn"]
+    logits = np.asarray(jax.jit(
+        lambda p, f: student_logits(p, f, train=True))(params, frames))
+    np.testing.assert_allclose(logits, ref, rtol=1e-4, atol=1e-4)
+    srt = np.sort(ref, axis=-1)
+    decisive = (srt[..., -1] - srt[..., -2]) > 1e-4
+    assert decisive.mean() > 0.99
+    assert np.array_equal(logits.argmax(-1)[decisive],
+                          ref.argmax(-1)[decisive])
+
+
 def test_inference_mode_runs_and_differs(student_parity_fixture):
     fx = student_parity_fixture
     params = {k: jnp.asarray(v) for k, v in fx["params"].items()
