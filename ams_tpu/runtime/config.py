@@ -38,6 +38,11 @@ class RunConfig:
 
     mode: str = "simple"               # simple | pretrained | horizon | early
     early_cutoff_time: int = 60
+    # Horizon-study grid (reference hardcodes these, run.py:612-615);
+    # configurable here so short clips can be profiled too.
+    horizon_k1s: tuple = (16, 32, 64, 128, 256, 512)
+    horizon_k2s: tuple = (16, 32, 64, 128, 256)
+    horizon_points: int = 3
 
     compute_dtype: str = "float32"     # "bfloat16" = fast TPU path
     conv_precision: str = "auto"       # auto|default|highest (see DistillSpec)

@@ -50,9 +50,9 @@ def _run_experiment(cfg: RunConfig) -> None:
         plot_miou_mean(cfg, cfg.train_period, cfg.send_period, run_label)
 
     elif cfg.mode == "horizon":
-        k1s = [16, 32, 64, 128, 256, 512]
-        k2 = 256
-        number_of_points = 3
+        k1s = list(cfg.horizon_k1s)
+        k2 = cfg.horizon_k2s[-1]
+        number_of_points = cfg.horizon_points
         step = (length - k2 - k1s[-1]) // (number_of_points - 1)
         if not cfg.only_results:
             run_label = "pretrained"
@@ -75,7 +75,7 @@ def _run_experiment(cfg: RunConfig) -> None:
                     etf = (time.time() - t0) / done * (total - done)
                     print("ETF %02d:%02d.%02d" % (etf // 60, etf % 60,
                                                   (etf * 100) % 100))
-        k2s = [16, 32, 64, 128, 256]
+        k2s = list(cfg.horizon_k2s)
         ts = [k1s[-1] + i * step for i in range(number_of_points)]
         k1k2_plot(cfg, ts, k1s, k2s)
 

@@ -44,10 +44,12 @@ def confusion_matrix(labels, predictions, num_classes, weights=None):
                              labels.shape).reshape(-1)
     labels = labels.reshape(-1)
     predictions = predictions.reshape(-1)
-    idx = labels * num_classes + predictions
-    cm = jnp.zeros((num_classes * num_classes,), jnp.float32)
-    cm = cm.at[idx].add(w)
-    return cm.reshape(num_classes, num_classes)
+    # One-hot contraction instead of scatter-add: TPU scatters serialize,
+    # while (K x N) @ (N x K) rides the MXU (K=19 -> ~100 MFLOP per frame).
+    lab_oh = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32) * w[:, None]
+    pred_oh = jax.nn.one_hot(predictions, num_classes, dtype=jnp.float32)
+    return jnp.einsum("nl,np->lp", lab_oh, pred_oh,
+                      preferred_element_type=jnp.float32)
 
 
 def iou_from_confusion(cm):
