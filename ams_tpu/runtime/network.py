@@ -312,6 +312,18 @@ class SemanticNetwork:
 
     # ----------------------------------------------------------- export
 
+    def apply_downlink(self, blob: bytes, strategy: str = "full_model"):
+        """Edge-device update path: decode a delta payload and overlay the
+        masked fp16 values onto the local weights (the real system's
+        downlink consumer; the reference only measures payload bytes)."""
+        from ams_tpu.stream.codec import apply_delta, decode_delta
+
+        host = self.get_vars()
+        shapes = {k: v.shape for k, v in host.items()}
+        masks, values = decode_delta(blob, shapes, strategy=strategy)
+        updated = apply_delta(host, masks, values)
+        self.params = {k: jnp.asarray(v) for k, v in updated.items()}
+
     def save_to_frozen_graph(self, save_dir):
         """Write the deployable client model: an .npz parameter snapshot
         (the reference's frozen .pb equivalent)."""
