@@ -260,7 +260,7 @@ def student_grid_logits(params: Params, frames, *, train: bool = False,
 
 
 def student_predict_fast(params: Params, frames, class_indices, *,
-                         train: bool = False, interpret: bool = False):
+                         train: bool = False, interpret: bool = None):
     """Fast client inference: bf16 forward + the fused Pallas
     upsample+argmax kernel (ops.fused_resize_argmax) — never materializes
     the full-resolution logits.  Class gather commutes with the per-channel

@@ -159,12 +159,14 @@ def xception_backbone(params: Params, x, *, compute_dtype=jnp.float32):
     return x
 
 
-def teacher_logits(params: Params, frames, *, compute_dtype=jnp.float32):
-    """Raw frames [0,255] -> per-pixel logits at the input resolution.
+def teacher_logits(params: Params, frames, *, compute_dtype=jnp.float32,
+                   out_hw="input"):
+    """Raw frames [0,255] -> per-pixel logits.
 
     Same preprocessing convention as the student (pad +1 bottom/right with
     127.5, x*2/255-1) and DeepLab's align-corners upsampling of the
-    grid-level logits.
+    grid-level logits.  ``out_hw=None`` returns the grid-level logits
+    (fast labeling fuses the upsample+argmax in Pallas).
     """
     b, h, w, _ = frames.shape
     x = frames.astype(jnp.float32)
@@ -202,7 +204,23 @@ def teacher_logits(params: Params, frames, *, compute_dtype=jnp.float32):
     x = jax.nn.relu(_bn(params, "concat_projection", x, eps=HEAD_BN_EPS))
     x = layers.conv2d(x, params["logits/semantic/weights"], compute_dtype=cd)
     x = x + params["logits/semantic/biases"].astype(x.dtype)
-    return resize_bilinear_ac(x.astype(jnp.float32), (h, w))
+    if out_hw is None:
+        return x
+    if out_hw == "input":
+        out_hw = (h, w)
+    return resize_bilinear_ac(x.astype(jnp.float32), out_hw)
+
+
+def teacher_predict_fast(params: Params, frames, *, interpret: bool = None):
+    """Fast labeling: bf16 forward + fused Pallas upsample+argmax, never
+    materializing full-resolution logits (the labeler's hot path)."""
+    from ams_tpu.ops.fused_resize_argmax import fused_resize_argmax
+
+    b, h, w, _ = frames.shape
+    grid = teacher_logits(params, frames, compute_dtype=jnp.bfloat16,
+                          out_hw=None)
+    return fused_resize_argmax(grid.astype(jnp.float32), (h, w),
+                               interpret=interpret)
 
 
 def teacher_outputs(params: Params, frames, class_indices=None, *,

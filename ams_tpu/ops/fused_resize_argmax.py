@@ -72,32 +72,42 @@ def _kernel(l_ref, r_ref, c_ref, o_ref):
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "tile_h", "interpret"))
 def fused_resize_argmax(logits_grid, out_hw, tile_h: int = 64,
-                        interpret: bool = False):
+                        interpret: bool = None):
     """argmax_c(resize_bilinear_ac(logits_grid, out_hw)) without the
     full-resolution intermediate.
+
+    Arbitrary output sizes are supported by padding the row-weight matrix to
+    a multiple of tile_h (Mosaic requires the block's penultimate dim be a
+    multiple of 8 or the full array dim) and slicing the padded rows off the
+    result.
 
     Args:
         logits_grid: (B, gh, gw, C) float logits at the feature grid.
         out_hw: static (H, W) output size.
-        tile_h: output rows per program.
-        interpret: run in interpreter mode (CPU tests).
+        tile_h: output rows per program (rounded to a multiple of 8).
+        interpret: interpreter mode; None = auto (True off-TPU, where the
+            Mosaic kernel cannot lower).
 
     Returns:
         (B, H, W) int32 class ids.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, gh, gw, nc = logits_grid.shape
     h, w = int(out_hw[0]), int(out_hw[1])
-    while h % tile_h:
-        tile_h //= 2
-    r = jnp.asarray(_resize_matrix(gh, h))          # (H, gh)
-    c = jnp.asarray(_resize_matrix(gw, w).T)        # (gw, W)
+    tile_h = max(8, (tile_h // 8) * 8)
+    h_pad = -(-h // tile_h) * tile_h
+    r = np.zeros((h_pad, gh), np.float32)
+    r[:h] = _resize_matrix(gh, h)
+    r = jnp.asarray(r)                               # (H_pad, gh)
+    c = jnp.asarray(_resize_matrix(gw, w).T)         # (gw, W)
     # class-major layout so each class is a contiguous 2-D plane in VMEM
     grid_logits = jnp.transpose(logits_grid, (0, 3, 1, 2))
 
-    grid = (b, h // tile_h)
-    return pl.pallas_call(
+    grid = (b, h_pad // tile_h)
+    out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, nc, gh, gw), lambda i, j: (i, 0, 0, 0),
@@ -111,6 +121,7 @@ def fused_resize_argmax(logits_grid, out_hw, tile_h: int = 64,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(grid_logits, r, c)
+    return out[:, :h, :]
 
 
 def resize_argmax_reference(logits_grid, out_hw):

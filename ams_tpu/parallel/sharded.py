@@ -63,12 +63,14 @@ def make_sharded_distill_round(spec: DistillSpec, mesh: Mesh,
     return round_fn
 
 
-def make_multi_video_round(spec: DistillSpec, mesh: Mesh):
-    """V concurrent per-video rounds, V = total device count.
+def make_multi_video_round(spec: DistillSpec, mesh: Mesh,
+                           videos_per_device: int = 1):
+    """V concurrent per-video rounds, V = device count * videos_per_device.
 
     All per-video state (params, opt, mask, buffers) carries a leading V
-    axis sharded over the whole mesh; each device executes its own video's
-    full round.  Signature:
+    axis sharded over the whole mesh; each device executes its local
+    videos' full rounds sequentially (a static loop — local shards larger
+    than one video are NOT dropped).  Signature:
         fn(params_V, opt_V, frames_V, labels_V, n_valid_V, rngs_V, lr,
            mask_V) -> (params_V, opt_V, mask_V, losses_V)
     """
@@ -76,18 +78,24 @@ def make_multi_video_round(spec: DistillSpec, mesh: Mesh):
     axes = tuple(mesh.axis_names)
     lead = P(axes)
     reselect = spec.strategy == "coord_desc_auto"
+    local_v = videos_per_device
 
-    def per_video(params, opt, frames, labels, n_valid, rng, lr, mask):
-        # Each shard sees leading axis of size 1: unbatch, run, rebatch.
-        sq = lambda t: jax.tree.map(lambda x: x[0], t)  # noqa: E731
-        p, o, m, losses = base(sq(params), sq(opt), frames[0], labels[0],
-                               n_valid[0], rng[0], lr, sq(mask),
-                               reselect=reselect)
-        ex = lambda t: jax.tree.map(lambda x: x[None], t)  # noqa: E731
-        return ex(p), ex(o), ex(m), losses[None]
+    def per_shard(params, opt, frames, labels, n_valid, rng, lr, mask):
+        outs = []
+        for j in range(local_v):
+            sq = lambda t: jax.tree.map(lambda x: x[j], t)  # noqa: E731
+            outs.append(base(sq(params), sq(opt), frames[j], labels[j],
+                             n_valid[j], rng[j], lr, sq(mask),
+                             reselect=reselect))
+        stack = lambda *xs: jnp.stack(xs)  # noqa: E731
+        p = jax.tree.map(stack, *[o[0] for o in outs])
+        o_ = jax.tree.map(stack, *[o[1] for o in outs])
+        m = jax.tree.map(stack, *[o[2] for o in outs])
+        losses = jnp.stack([o[3] for o in outs])
+        return p, o_, m, losses
 
     mapped = shard_map(
-        per_video, mesh=mesh,
+        per_shard, mesh=mesh,
         in_specs=(lead, lead, lead, lead, lead, lead, P(), lead),
         out_specs=(lead, lead, lead, lead),
         check_rep=False)

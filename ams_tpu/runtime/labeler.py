@@ -59,10 +59,19 @@ def extract_labels(input_video: str, dump_path: str,
         params = init_teacher_params(jax.random.PRNGKey(0))
 
     cd = jnp.dtype(compute_dtype)
+    if cd == jnp.bfloat16:
+        from ams_tpu.models.xception_deeplab import teacher_predict_fast
 
-    @jax.jit
-    def predict(p, frames):
-        return teacher_outputs(p, frames, compute_dtype=cd)["predictions"]
+        @jax.jit
+        def predict(p, frames):
+            # interpret=None: the fused kernel auto-falls back to
+            # interpreter mode off-TPU (Mosaic only lowers on TPU)
+            return teacher_predict_fast(p, frames)
+    else:
+        @jax.jit
+        def predict(p, frames):
+            return teacher_outputs(p, frames,
+                                   compute_dtype=cd)["predictions"]
 
     reader = VideoReader(input_video)
     fps = reader.fps

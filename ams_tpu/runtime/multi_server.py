@@ -74,6 +74,11 @@ class MultiVideoServer:
 
         self.mesh = mesh if mesh is not None else make_mesh(
             min(self.V, len(jax.devices())))
+        n_dev = self.mesh.devices.size
+        assert self.V % n_dev == 0, (
+            "video count (%d) must be a multiple of the mesh size (%d); "
+            "pad with duplicate streams or shrink the mesh" % (self.V, n_dev))
+        self.videos_per_device = self.V // n_dev
         self.spec = DistillSpec(
             iters=1, batch_size=batch_size, num_classes=self.num_classes,
             class_indices=self.class_indices, strategy=strategy,
@@ -114,7 +119,8 @@ class MultiVideoServer:
         if iters not in self._round_cache:
             import dataclasses
             spec = dataclasses.replace(self.spec, iters=iters)
-            self._round_cache[iters] = make_multi_video_round(spec, self.mesh)
+            self._round_cache[iters] = make_multi_video_round(
+                spec, self.mesh, videos_per_device=self.videos_per_device)
         return self._round_cache[iters]
 
     def train_round(self, iters: int) -> np.ndarray:

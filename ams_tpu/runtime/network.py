@@ -39,7 +39,7 @@ from ams_tpu.distill.train_step import (
     split_params,
 )
 from ams_tpu.models.mobilenetv2_deeplab import init_student_params
-from ams_tpu.models.var_order import SAVEABLE_ORDER, TRAINABLE_ORDER
+
 from ams_tpu.utils import checkpoint as ckpt
 from ams_tpu.utils.colormap import colormap
 from ams_tpu.utils.metrics import calculate_miou, confusion_matrix
@@ -124,12 +124,11 @@ class SemanticNetwork:
             from ams_tpu.models.mobilenetv2_deeplab import student_predict_fast
 
             ci = tuple(self.class_indices_graph)
-            interp = jax.default_backend() == "cpu"  # Mosaic needs real TPU
 
             @jax.jit
             def fast(params, frames):
-                return student_predict_fast(params, frames, ci,
-                                            interpret=interp)
+                # interpret auto-selected: Mosaic on TPU, interpreter off it
+                return student_predict_fast(params, frames, ci)
 
             self._fast_predict = fast
 
@@ -284,20 +283,27 @@ class SemanticNetwork:
             # Delta payload pieces in reference wire order (SemanticNetwork
             # :290-298): coord strategies ship trainable vars under their
             # masks; full_model ships every saveable var with all-ones masks.
+            # Order comes from the codec (single source of the wire rule).
+            from ams_tpu.stream.codec import delta_order
+
             host = self.get_vars()
+            order = delta_order(train_strategy, present=host)
             if train_strategy.startswith("coord_desc_"):
-                order = TRAINABLE_ORDER
                 m = {k: np.asarray(v) for k, v in out_mask.items()}
                 self.curr_mask = [m[k] for k in order]
-                self.train_params = [host[k] for k in order]
             else:
-                order = [k for k in SAVEABLE_ORDER if k in host]
-                self.train_params = [host[k] for k in order]
                 self.curr_mask = [np.ones_like(host[k], dtype=bool)
                                   for k in order]
+            self.train_params = [host[k] for k in order]
             return self.last_losses
 
     def _to_device_buffers(self, frame_deque, label_deque):
+        """Stage the frame memory as fixed-capacity padded device buffers.
+
+        The buffer shape only GROWS (geometrically, in multiples of 32), so
+        the jitted round is retraced O(log n) times as the memory fills
+        rather than at every training event.
+        """
         frames = list(frame_deque)
         labels = list(label_deque)
         # Lossy uplink codecs can decode one frame more/less than the label
@@ -305,10 +311,19 @@ class SemanticNetwork:
         n = min(len(frames), len(labels))
         assert n > 0, "empty frame memory"
         frames, labels = frames[:n], labels[:n]
-        fbuf = np.stack([np.asarray(f, np.uint8) for f in frames])
-        lbuf = np.stack([np.asarray(l, np.uint8) for l in labels])
-        assert fbuf.shape[1:] == (self.height, 2 * self.height, 3)
-        return jnp.asarray(fbuf), jnp.asarray(lbuf), len(frames)
+
+        cap = getattr(self, "_buffer_capacity", 0)
+        if n > cap:
+            cap = max(32, cap * 2)
+            while cap < n:
+                cap *= 2
+            self._buffer_capacity = cap
+        fbuf = np.zeros((cap, self.height, 2 * self.height, 3), np.uint8)
+        lbuf = np.zeros((cap, self.height, 2 * self.height), np.uint8)
+        for i, (f, l) in enumerate(zip(frames, labels)):
+            fbuf[i] = np.asarray(f, np.uint8)
+            lbuf[i] = np.asarray(l, np.uint8)
+        return jnp.asarray(fbuf), jnp.asarray(lbuf), n
 
     # ----------------------------------------------------------- export
 

@@ -106,6 +106,8 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             i = int(meta["second"])
             reader.seek_frame(i)
             send_rate = meta["send_rate"]
+            if asr is not None:
+                asr.send_rate = send_rate  # controller continues, not resets
             sample_per_period = list(meta["sample_per_period"])
             up_bw_per_period = list(meta["up_bw"])
             down_bw_per_period = list(meta["down_bw"])
@@ -171,6 +173,13 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
                 for f in to_compress:
                     memory.frames.append(np.ascontiguousarray(f, np.uint8))
             to_compress.clear()
+            # Lossy codecs may decode one frame more/less than the labels
+            # appended this period; realign NOW so the offset can't compound
+            # across periods (pairing frames with stale labels).
+            while len(memory.frames) > len(memory.labels):
+                memory.frames.pop()
+            while len(memory.labels) > len(memory.frames):
+                memory.labels.pop()
 
         if i // fps in save_range and i // fps not in trained_seconds:
             trained_seconds.add(i // fps)
@@ -266,8 +275,5 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
 
 
 def _delta_names(network: SemanticNetwork, strategy: str):
-    from ams_tpu.models.var_order import SAVEABLE_ORDER, TRAINABLE_ORDER
-    if strategy.startswith("coord_desc_"):
-        return TRAINABLE_ORDER
-    host_keys = set(network.params.keys())
-    return [k for k in SAVEABLE_ORDER if k in host_keys]
+    from ams_tpu.stream.codec import delta_order
+    return delta_order(strategy, present=network.params.keys())

@@ -29,10 +29,17 @@ import numpy as np
 from ams_tpu.models.var_order import SAVEABLE_ORDER, TRAINABLE_ORDER
 
 
-def delta_order(strategy: str) -> List[str]:
-    if strategy == "full_model":
-        return list(SAVEABLE_ORDER)
-    return list(TRAINABLE_ORDER)
+def delta_order(strategy: str, present=None) -> List[str]:
+    """Canonical wire order for a strategy's delta payload (the ONLY place
+    this rule lives): coord-descent strategies ship trainable vars in
+    grad_masks_pl order; full_model ships every saveable var.  ``present``
+    optionally filters to keys that exist in a given param dict."""
+    order = list(SAVEABLE_ORDER) if strategy == "full_model" \
+        else list(TRAINABLE_ORDER)
+    if present is not None:
+        present = set(present)
+        order = [n for n in order if n in present]
+    return order
 
 
 def pack_payload(masks: Sequence[np.ndarray],
@@ -57,7 +64,7 @@ def encode_delta(params: Dict[str, np.ndarray],
     params: post-round parameter dict (flat TF names).
     masks: bool dict over trainable params (None -> all-ones, full_model).
     """
-    order = [n for n in delta_order(strategy) if n in params]
+    order = delta_order(strategy, present=params)
     mask_list, value_list = [], []
     for name in order:
         v = np.asarray(params[name])
@@ -93,7 +100,7 @@ def decode_delta(blob: bytes,
     ``apply_delta`` to overlay onto a parameter dict.
     """
     raw = gzip.decompress(blob)
-    order = [n for n in delta_order(strategy) if n in shapes]
+    order = delta_order(strategy, present=shapes)
     off = 0
     masks = {}
     for name in order:

@@ -59,7 +59,12 @@ def encode_decode_h264(frames_bgr: List[np.ndarray], bitrate_kbps: float,
     """Encode the sample buffer at a target bitrate, decode it back, resize
     to the training size and convert to RGB (run.py:195-266 semantics)."""
     work_dir = work_dir or tempfile.mkdtemp(prefix="ams_uplink_")
-    out_file = os.path.join(work_dir, "uplink_tmp_movie.mp4")
+    # Unique name per call: concurrent experiments sharing an output dir
+    # must not clobber each other's uplink video (the reference's fixed
+    # per-run name relied on unique run labels).
+    fd, out_file = tempfile.mkstemp(prefix="uplink_tmp_", suffix=".mp4",
+                                    dir=work_dir)
+    os.close(fd)
     h_in, w_in = frames_bgr[0].shape[:2]
 
     if os.path.exists(FFMPEG):
@@ -99,7 +104,9 @@ def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
     base = [FFMPEG, "-y", "-s", "%dx%d" % (w, h), "-pixel_format", "bgr24",
             "-f", "rawvideo", "-r", str(fps), "-i", "pipe:",
             "-vcodec", "libx264", "-pix_fmt", "yuv420p", "-preset", "medium",
-            "-b:v", "%dk" % int(bitrate_kbps)]
+            "-b:v", "%dk" % int(bitrate_kbps),
+            # unique 2-pass stats file so concurrent runs don't collide
+            "-passlogfile", out_file + ".passlog"]
     passes = [base + ["-pass", "1", "-f", "mp4", "/dev/null"],
               base + ["-pass", "2", out_file]]
     while True:

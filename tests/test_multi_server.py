@@ -64,3 +64,33 @@ def test_deploy(server, tmp_path):
     server.deploy(0, path)
     import os
     assert os.path.exists(path + ".npz")
+
+
+def test_more_videos_than_devices():
+    """Local shards > 1 video: every video trains (none silently dropped)."""
+    from ams_tpu.parallel.mesh import make_mesh
+    n_dev = 2
+    srv = MultiVideoServer(video_ids=[25, 22, 12, 17], height=32,
+                           batch_size=2, lr=1e-2, strategy="full_model",
+                           memory_capacity=4, mesh=make_mesh(n_dev))
+    assert srv.videos_per_device == 2
+    rng = np.random.RandomState(0)
+    for v in range(4):
+        srv.ingest(v, [rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+                       for _ in range(2)],
+                   [rng.randint(0, 19, (32, 64)).astype(np.uint8)
+                    for _ in range(2)])
+    before = [srv.video_params(v)["logits/semantic/weights"]
+              for v in range(4)]
+    losses = srv.train_round(iters=1)
+    assert losses.shape == (4, 1)
+    for v in range(4):
+        after = srv.video_params(v)["logits/semantic/weights"]
+        assert not np.array_equal(after, before[v]), f"video {v} not trained"
+
+
+def test_video_count_must_divide_mesh():
+    from ams_tpu.parallel.mesh import make_mesh
+    with pytest.raises(AssertionError):
+        MultiVideoServer(video_ids=[25, 22, 12], height=32, batch_size=2,
+                         lr=1e-3, memory_capacity=4, mesh=make_mesh(2))
