@@ -76,6 +76,50 @@ def depthwise_conv2d(x, w, stride=1, rate=1, padding="SAME", *,
     )
 
 
+def conv2d_stride2_s2d(x, w, *, compute_dtype=None, precision=None):
+    """3x3/stride-2 'SAME' conv via space-to-depth restructuring.
+
+    A stride-2 conv with 3 input channels runs the MXU at 3/128 utilization;
+    packing 2x2 pixel blocks into channels turns it into a 2x2 VALID conv
+    over 12 channels — numerically identical (same taps, zero padding), ~2x
+    faster on TPU.  Used by the fast inference path for the MobileNetV2 stem.
+
+    x: (B, H, W, C) with H, W odd (the +1-padded DeepLab input);
+    w: (3, 3, C, O).  Returns (B, ceil(H/2), ceil(W/2), O).
+    """
+    if precision is None:
+        precision = _precision_for(x, compute_dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    b, h, wdt, c = x.shape
+    oh, ow = (h + 1) // 2, (wdt + 1) // 2
+    # SAME for odd input, k=3, s=2 pads 1 on each side; pad further so the
+    # space-to-depth grid is even (extra rows/cols are never read by valid
+    # output positions).
+    hp, wp = 2 * (oh + 1), 2 * (ow + 1)
+    xp = jnp.pad(x, ((0, 0), (1, hp - h - 1), (1, wp - wdt - 1), (0, 0)))
+    xs = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+    xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+        b, hp // 2, wp // 2, 4 * c)
+    # repack the 3x3 kernel onto the 2x2 block grid: W2[p,q,(a,b,cc),o] =
+    # W[2p+a, 2q+b, cc, o] (zero where 2p+a > 2)
+    w2 = jnp.zeros((2, 2, 4 * c, w.shape[-1]), w.dtype)
+    for p in range(2):
+        for q in range(2):
+            for a in range(2):
+                for bb in range(2):
+                    di, dj = 2 * p + a, 2 * q + bb
+                    if di > 2 or dj > 2:
+                        continue
+                    idx = (a * 2 + bb) * c
+                    w2 = w2.at[p, q, idx:idx + c, :].set(w[di, dj])
+    out = lax.conv_general_dilated(
+        xs, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=_DIMS, precision=precision)
+    return out[:, :oh, :ow, :]
+
+
 def batch_norm_infer(x, gamma, beta, mean, var, eps=BN_EPS):
     """Inference batch norm using moving statistics (frozen-graph path)."""
     dt = x.dtype
