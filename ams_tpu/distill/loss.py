@@ -18,6 +18,22 @@ import jax.numpy as jnp
 from ams_tpu.models.mobilenetv2_deeplab import student_logits
 
 
+def label_lut(class_indices, num_classes):
+    """(reduced-id LUT, validity LUT) over the full class-id space.
+
+    Equivalent to one_hot -> gather -> argmax / reduce_sum but O(num_classes)
+    instead of a (B,H,W,num_classes) one-hot tensor."""
+    import numpy as np
+
+    ci = np.asarray(class_indices)
+    red = np.zeros(num_classes, np.int32)
+    val = np.zeros(num_classes, np.float32)
+    for pos, c in enumerate(ci):
+        red[c] = pos
+        val[c] = 1.0
+    return jnp.asarray(red), jnp.asarray(val)
+
+
 def reduce_labels(labels, class_indices, num_classes):
     """Teacher labels (full id space) -> (reduced ids, validity weights).
 
@@ -46,7 +62,7 @@ def masked_mean(x, mask):
 
 def distill_loss(params, frames, labels, class_indices, num_classes, *,
                  train=True, teacher_logits=None, compute_dtype=jnp.float32,
-                 stats_out=None, precision=None):
+                 stats_out=None, precision=None, fused=False):
     """Scalar distillation loss + aux dict.
 
     Args:
@@ -62,6 +78,29 @@ def distill_loss(params, frames, labels, class_indices, num_classes, *,
     Returns:
         (loss, aux) with aux = {'predictions', 'weights', 'logits_reduced'}.
     """
+    if teacher_logits is None and fused:
+        # Fast loss: grid-level logits + the fused Pallas upsample+CE kernel
+        # (ops.fused_resize_ce) — full-resolution logits never touch HBM.
+        # Same math as the reference path to f32 rounding.
+        from ams_tpu.models.mobilenetv2_deeplab import student_grid_logits
+        from ams_tpu.ops.fused_resize_ce import fused_resize_ce
+
+        b, h, w, _ = frames.shape
+        grid = student_grid_logits(params, frames, train=train,
+                                   stats_out=stats_out,
+                                   compute_dtype=compute_dtype,
+                                   precision=precision)
+        grid = jnp.take(grid.astype(jnp.float32),
+                        jnp.asarray(class_indices), axis=-1)
+        red_lut, val_lut = label_lut(class_indices, num_classes)
+        lab = labels.astype(jnp.int32)
+        reduced_labels = red_lut[lab]
+        weights = val_lut[lab]
+        loss = fused_resize_ce(grid, reduced_labels, weights, (h, w))
+        aux = {"weights": weights, "reduced_labels": reduced_labels,
+               "grid_logits_reduced": grid}
+        return loss, aux
+
     logits = student_logits(params, frames, train=train, stats_out=stats_out,
                             compute_dtype=compute_dtype, precision=precision)
     reduced_logits = jnp.take(logits, jnp.asarray(class_indices), axis=-1)

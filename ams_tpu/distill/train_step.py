@@ -57,6 +57,13 @@ class DistillSpec:
     # DEFAULT for bf16.  "default" gives standard TPU training numerics for
     # f32 parameters (single-pass MXU, ~2x faster rounds than HIGHEST).
     conv_precision: str = "auto"
+    # Fused upsample+CE loss kernel (ops.fused_resize_ce): same math as the
+    # reference's full-resolution CE to f32 rounding, without materializing
+    # the full-resolution logits.  MEASURED SLOWER on v5e at the AMS round
+    # shape (7.0 vs 4.5 s: 40 small-matmul Pallas programs per iteration
+    # lose to XLA's fused resize at gh,gw=17x33) — off by default, kept for
+    # larger-grid regimes.
+    fused_loss: bool = False
 
     @property
     def cdtype(self):
@@ -121,7 +128,7 @@ def make_distill_round(spec: DistillSpec):
             loss, _aux = distill_loss(
                 merged, frames, labels, ci, spec.num_classes, train=True,
                 compute_dtype=spec.cdtype, stats_out=stats_cap,
-                precision=spec.precision)
+                precision=spec.precision, fused=spec.fused_loss)
             return loss, stats_cap
 
         def body(carry, it):

@@ -259,15 +259,17 @@ def student_logits(params: Params, frames, *, train: bool = False,
 
 
 def student_grid_logits(params: Params, frames, *, train: bool = False,
-                        compute_dtype=jnp.bfloat16):
+                        stats_out=None, compute_dtype=jnp.bfloat16,
+                        precision=None):
     """Forward stopping at the feature-grid logits (no final upsample)."""
-    x = preprocess(frames, dtype=compute_dtype)
+    x = preprocess(frames, dtype=compute_dtype if not train else jnp.float32)
     # s2d_stem measured SLOWER on v5e (b32: 14.3 vs 11.1 ms; the
     # space-to-depth transpose costs more than the C=3 stem conv saves) —
     # XLA's native small-channel handling wins; keep the plain stem.
-    feat = backbone(params, x, train=train, compute_dtype=compute_dtype)
-    return deeplab_head(params, feat, None, train=train,
-                        compute_dtype=compute_dtype)
+    feat = backbone(params, x, train=train, stats_out=stats_out,
+                    compute_dtype=compute_dtype, precision=precision)
+    return deeplab_head(params, feat, None, train=train, stats_out=stats_out,
+                        compute_dtype=compute_dtype, precision=precision)
 
 
 def student_predict_fast(params: Params, frames, class_indices, *,
