@@ -64,7 +64,8 @@ def make_sharded_distill_round(spec: DistillSpec, mesh: Mesh,
 
 
 def make_multi_video_round(spec: DistillSpec, mesh: Mesh,
-                           videos_per_device: int = 1):
+                           videos_per_device: int = 1,
+                           reselect: bool = None):
     """V concurrent per-video rounds, V = device count * videos_per_device.
 
     All per-video state (params, opt, mask, buffers) carries a leading V
@@ -73,11 +74,16 @@ def make_multi_video_round(spec: DistillSpec, mesh: Mesh,
     than one video are NOT dropped).  Signature:
         fn(params_V, opt_V, frames_V, labels_V, n_valid_V, rngs_V, lr,
            mask_V) -> (params_V, opt_V, mask_V, losses_V)
+
+    ``reselect`` (coord_desc_auto only): recompute each video's parameter
+    subset at iteration 0; pass False to reuse the supplied masks
+    (keep_mask=True semantics, SemanticNetwork.py:216-219).
     """
     base = make_distill_round(spec)
     axes = tuple(mesh.axis_names)
     lead = P(axes)
-    reselect = spec.strategy == "coord_desc_auto"
+    if reselect is None:
+        reselect = spec.strategy == "coord_desc_auto"
     local_v = videos_per_device
 
     def per_shard(params, opt, frames, labels, n_valid, rng, lr, mask):

@@ -115,23 +115,30 @@ class MultiVideoServer:
 
     # ------------------------------------------------------- training
 
-    def _round_fn(self, iters: int):
-        if iters not in self._round_cache:
+    def _round_fn(self, iters: int, reselect: bool = None):
+        key = (iters, reselect)
+        if key not in self._round_cache:
             import dataclasses
             spec = dataclasses.replace(self.spec, iters=iters)
-            self._round_cache[iters] = make_multi_video_round(
-                spec, self.mesh, videos_per_device=self.videos_per_device)
-        return self._round_cache[iters]
+            self._round_cache[key] = make_multi_video_round(
+                spec, self.mesh, videos_per_device=self.videos_per_device,
+                reselect=reselect)
+        return self._round_cache[key]
 
-    def train_round(self, iters: int) -> np.ndarray:
-        """One distillation round for EVERY video; (V, iters) loss trace."""
+    def train_round(self, iters: int, keep_mask: bool = False) -> np.ndarray:
+        """One distillation round for EVERY video; (V, iters) loss trace.
+
+        ``keep_mask=True`` (coord_desc_auto) reuses the previous round's
+        per-video parameter subsets instead of reselecting at iteration 0.
+        """
         bufs = [m.device_buffers() for m in self.memories]
         frames_V = jnp.asarray(np.stack([b[0] for b in bufs]))
         labels_V = jnp.asarray(np.stack([b[1] for b in bufs]))
         n_valid_V = jnp.asarray([max(b[2], 1) for b in bufs], jnp.int32)
         self._rng, sub = jax.random.split(self._rng)
         rngs_V = jax.random.split(sub, self.V)
-        round_fn = self._round_fn(iters)
+        reselect = None if not keep_mask else False
+        round_fn = self._round_fn(iters, reselect)
         with self.mesh:
             self.params_V, self.opt_V, self.mask_V, losses = round_fn(
                 self.params_V, self.opt_V, frames_V, labels_V, n_valid_V,

@@ -89,6 +89,14 @@ def test_more_videos_than_devices():
         assert not np.array_equal(after, before[v]), f"video {v} not trained"
 
 
+def test_keep_mask_reuses_selection(server):
+    server.train_round(iters=2)             # reselect at iter 0
+    mask_before = {k: np.asarray(v) for k, v in server.mask_V.items()}
+    server.train_round(iters=1, keep_mask=True)
+    for k, v in server.mask_V.items():
+        np.testing.assert_array_equal(np.asarray(v), mask_before[k])
+
+
 def test_video_count_must_divide_mesh():
     from ams_tpu.parallel.mesh import make_mesh
     with pytest.raises(AssertionError):
