@@ -118,12 +118,21 @@ def _bn(params, prefix, x, eps=layers.BN_EPS):
         params[prefix + "/BatchNorm/moving_variance"], eps=eps)
 
 
+# slim's resnet_utils.conv2d_same / xception.separable_conv2d_same use
+# explicit (1,1) "fixed" padding + VALID for stride-2 3x3 convs (NOT TF
+# 'SAME', which pads (0,1) at even input sizes).  The two coincide at the
+# odd (+1-padded) input sizes DeepLab runs at, but the trunk is authored
+# with the true slim convention so any input size stays faithful.
+_FIXED_PAD_3X3 = ((1, 1), (1, 1))
+
+
 def _sep_conv(params, prefix, x, stride=1, rate=1, cd=jnp.float32):
     """relu -> depthwise(+BN) -> pointwise(+BN), slim xception_module order."""
     x = jax.nn.relu(x)
+    pad = _FIXED_PAD_3X3 if stride > 1 else "SAME"
     x = layers.depthwise_conv2d(
         x, params[prefix + "_depthwise/depthwise_weights"], stride=stride,
-        rate=rate, compute_dtype=cd)
+        rate=rate, padding=pad, compute_dtype=cd)
     x = _bn(params, prefix + "_depthwise", x)
     x = layers.conv2d(x, params[prefix + "_pointwise/weights"],
                       compute_dtype=cd)
@@ -134,7 +143,7 @@ def xception_backbone(params: Params, x, *, compute_dtype=jnp.float32):
     """Xception-65 trunk at OS16 on preprocessed input -> (B,h/16,w/16,2048)."""
     cd = compute_dtype
     x = layers.conv2d(x, params[_p("entry_flow/conv1_1/weights")], stride=2,
-                      compute_dtype=cd)
+                      padding=_FIXED_PAD_3X3, compute_dtype=cd)
     x = jax.nn.relu(_bn(params, _p("entry_flow/conv1_1"), x))
     x = layers.conv2d(x, params[_p("entry_flow/conv1_2/weights")],
                       compute_dtype=cd)
@@ -163,14 +172,17 @@ def teacher_logits(params: Params, frames, *, compute_dtype=jnp.float32,
                    out_hw="input"):
     """Raw frames [0,255] -> per-pixel logits.
 
-    Same preprocessing convention as the student (pad +1 bottom/right with
-    127.5, x*2/255-1) and DeepLab's align-corners upsampling of the
-    grid-level logits.  ``out_hw=None`` returns the grid-level logits
-    (fast labeling fuses the upsample+argmax in Pallas).
+    The caller feeds the already +1-padded (odd-sized) frame, matching the
+    reference flow where the host pads 1 px symmetric before the teacher and
+    un-pads predictions with ``[1:, 1:]`` (extract_labels.py:85-91,
+    graph_utils.py:154-157); the graph itself does NOT pad (the exported
+    DeepLab teacher graph expects the padded input directly).  Preprocessing
+    is DeepLab's x*2/255-1; logits are upsampled align-corners from the
+    OS16 grid.  ``out_hw=None`` returns the grid-level logits (fast labeling
+    fuses the upsample+argmax in Pallas).
     """
     b, h, w, _ = frames.shape
     x = frames.astype(jnp.float32)
-    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), constant_values=127.5)
     x = x * jnp.float32(2.0 / 255.0) - 1.0
     feat = xception_backbone(params, x, compute_dtype=compute_dtype)
     fh, fw = feat.shape[1], feat.shape[2]
