@@ -80,6 +80,53 @@ def fold_student(params: Params) -> Params:
     return out
 
 
+def is_folded(params) -> bool:
+    """True when a parameter dict is a BN-folded deployment artifact."""
+    return any(k.endswith("/folded_bias") for k in params)
+
+
+def student_predict_fast_folded(folded: Params, frames, class_indices, *,
+                                interpret: bool = None):
+    """Folded client fast path: bf16 forward with no BN ops + the fused
+    Pallas upsample+argmax kernel (the deployed-edge hot loop)."""
+    from ams_tpu.ops.fused_resize_argmax import fused_resize_argmax
+
+    b, h, w, _ = frames.shape
+    grid = student_forward_folded(folded, frames, class_indices=class_indices,
+                                  compute_dtype=jnp.bfloat16, out_hw=None)
+    return fused_resize_argmax(grid.astype(jnp.float32), (h, w),
+                               interpret=interpret)
+
+
+def make_predict_fn_folded(num_classes, class_indices,
+                           compute_dtype=jnp.float32):
+    """Jitted folded-client inference with metrics — the deployed analog of
+    distill.train_step.make_predict_fn (predict_with_metric semantics,
+    reference SemanticNetwork.py:196-213 over the frozen .pb)."""
+    from ams_tpu.distill.loss import reduce_labels
+    from ams_tpu.utils.metrics import confusion_matrix
+
+    ci = jnp.asarray(class_indices)
+    n_sel = len(class_indices)
+
+    @jax.jit
+    def predict(folded, frames, labels):
+        frames = frames.astype(jnp.float32)
+        reduced_logits = student_forward_folded(
+            folded, frames, class_indices=ci, compute_dtype=compute_dtype)
+        preds = jnp.argmax(reduced_logits, -1).astype(jnp.int32)
+        red_labels, weights, filtered_onehot = reduce_labels(
+            labels, ci, num_classes)
+        cm = confusion_matrix(red_labels, preds, n_sel, weights)
+        logp = jax.nn.log_softmax(reduced_logits, axis=-1)
+        pixel_loss = -jnp.sum(filtered_onehot * logp, axis=-1)
+        wsum = jnp.maximum(jnp.sum(weights), 1.0)
+        loss = jnp.sum(pixel_loss * weights) / wsum
+        return preds, cm, loss
+
+    return predict
+
+
 def student_forward_folded(folded: Params, frames, class_indices=None, *,
                            compute_dtype=jnp.bfloat16, out_hw="input"):
     """Forward through the folded client model (no batch-norm ops)."""

@@ -46,6 +46,8 @@ class RunConfig:
 
     compute_dtype: str = "float32"     # "bfloat16" = fast TPU path
     conv_precision: str = "auto"       # auto|default|highest (see DistillSpec)
+    fold_deploy: bool = True           # BN-fold the deployed client artifact
+    # (trim_graph_frozen analog); False keeps the raw bit-parity form
     resume: bool = False               # continue from the last saved event
     resume_every_event: bool = True    # persist a resume bundle per event
     trace_dir: str = ""                # JAX profiler trace output (xprof)

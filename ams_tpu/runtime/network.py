@@ -93,42 +93,66 @@ class SemanticNetwork:
         self._round_cache: Dict[tuple, object] = {}
 
         # --- parameters -------------------------------------------------
+        from ams_tpu.models.frozen import is_folded
+
         if isinstance(meta_dir, dict):
             self.params = {k: jnp.asarray(v) for k, v in meta_dir.items()}
         else:
             try:
                 loaded = ckpt.load_any(str(meta_dir))
-                base = init_student_params(jax.random.PRNGKey(seed),
-                                           num_classes=self.TOTAL_CLASSES)
-                self.params = {k: jnp.asarray(v) for k, v in
-                               ckpt.merge_restore(base, loaded).items()}
+                if is_folded(loaded):
+                    # BN-folded deployment artifact: take as-is (its key set
+                    # intentionally differs from the trainable inventory)
+                    self.params = {k: jnp.asarray(v)
+                                   for k, v in loaded.items()}
+                else:
+                    base = init_student_params(jax.random.PRNGKey(seed),
+                                               num_classes=self.TOTAL_CLASSES)
+                    self.params = {k: jnp.asarray(v) for k, v in
+                                   ckpt.merge_restore(base, loaded).items()}
             except FileNotFoundError:
                 # synthetic fallback: checkpoints without blobs (tests/bench)
                 self.params = init_student_params(
                     jax.random.PRNGKey(seed), num_classes=self.TOTAL_CLASSES)
 
+        self._folded = is_folded(self.params)
+        assert not (self._folded and not frozen), \
+            "BN-folded artifacts are inference-only (deployed client)"
         self._initial_params = dict(self.params)
 
         # --- jitted entry points ---------------------------------------
         # Non-frozen prediction runs training-mode BN exactly like the
         # reference's imported graph (is_training=True); frozen uses moving
-        # statistics like the patched frozen .pb.
-        self._predict = make_predict_fn(
-            self.TOTAL_CLASSES, tuple(self.class_indices_graph),
-            train_bn=not frozen, compute_dtype=jnp.dtype(compute_dtype))
+        # statistics like the patched frozen .pb — and a BN-folded artifact
+        # (the trim_graph_frozen analog, graph_utils.py:79-126) runs with the
+        # scale/offset constant-folded into each conv.
+        ci = tuple(self.class_indices_graph)
+        if self._folded:
+            from ams_tpu.models.frozen import make_predict_fn_folded
+
+            self._predict = make_predict_fn_folded(
+                self.TOTAL_CLASSES, ci,
+                compute_dtype=jnp.dtype(compute_dtype))
+        else:
+            self._predict = make_predict_fn(
+                self.TOTAL_CLASSES, ci,
+                train_bn=not frozen, compute_dtype=jnp.dtype(compute_dtype))
 
         # Deployed clients on the bf16 fast path use the fused Pallas
         # upsample+argmax kernel (4.2k frames/s/chip @512x512 on v5e-1).
         self._fast_predict = None
         if frozen and compute_dtype == "bfloat16":
-            from ams_tpu.models.mobilenetv2_deeplab import student_predict_fast
-
-            ci = tuple(self.class_indices_graph)
+            if self._folded:
+                from ams_tpu.models.frozen import student_predict_fast_folded \
+                    as fast_fwd
+            else:
+                from ams_tpu.models.mobilenetv2_deeplab import \
+                    student_predict_fast as fast_fwd
 
             @jax.jit
             def fast(params, frames):
                 # interpret auto-selected: Mosaic on TPU, interpreter off it
-                return student_predict_fast(params, frames, ci)
+                return fast_fwd(params, frames, ci)
 
             self._fast_predict = fast
 
@@ -146,7 +170,6 @@ class SemanticNetwork:
             n_sel = self.class_count
             total = self.TOTAL_CLASSES
 
-            @jax.jit
             def cross_cm(before, after):
                 bo = jax.nn.one_hot(before.astype(jnp.int32), total)
                 ao = jax.nn.one_hot(after.astype(jnp.int32), total)
@@ -156,7 +179,11 @@ class SemanticNetwork:
                      jnp.max(jnp.take(ao, ci, -1), -1))
                 return confusion_matrix(br, ar, n_sel, w)
 
-            self._cross_cm = cross_cm
+            self._cross_cm = jax.jit(cross_cm)
+            # Batched variant: confusion matrices for ALL consecutive label
+            # pairs of an event in ONE device dispatch (the reference loops
+            # one sess.run per pair inside the per-event path, run.py:279-290).
+            self._cross_cm_seq = jax.jit(jax.vmap(cross_cm))
 
     # ------------------------------------------------------------------ API
 
@@ -213,6 +240,34 @@ class SemanticNetwork:
                                            jnp.asarray(labels[1])))
         iou_ = calculate_miou(cm, nan=True)
         return cm, iou_, np.nanmean(iou_)
+
+    def calc_cross_miou_seq(self, labels_seq):
+        """Cross-mIoU phi scores for every consecutive pair of a label
+        sequence in ONE jitted dispatch (the ASR controller input; the
+        reference issues one sess.run per pair, run.py:279-290).
+
+        labels_seq: (n, height, 2*height) with n >= 2 -> list of n-1 phis.
+        Pairs are padded to a power-of-two count so the program retraces
+        O(log n) times as event sizes vary, not per event.
+        """
+        labels_seq = np.asarray(labels_seq)
+        n = labels_seq.shape[0]
+        assert labels_seq.shape[1:] == (self.height, 2 * self.height)
+        if n < 2:
+            return []
+        pairs = n - 1
+        cap = 1
+        while cap < pairs:
+            cap *= 2
+        before = np.zeros((cap,) + labels_seq.shape[1:], labels_seq.dtype)
+        after = np.zeros_like(before)
+        before[:pairs] = labels_seq[:-1]
+        after[:pairs] = labels_seq[1:]
+        with self.process_lock:
+            cms = np.asarray(self._cross_cm_seq(jnp.asarray(before),
+                                                jnp.asarray(after)))
+        return [float(np.nanmean(calculate_miou(cms[k], nan=True)))
+                for k in range(pairs)]
 
     # ----------------------------------------------------------- training
 
@@ -333,16 +388,29 @@ class SemanticNetwork:
         downlink consumer; the reference only measures payload bytes)."""
         from ams_tpu.stream.codec import apply_delta, decode_delta
 
+        assert not self._folded, (
+            "downlink deltas are keyed on raw variable names; the "
+            "delta-consuming client must be deployed with fold=False")
         host = self.get_vars()
         shapes = {k: v.shape for k, v in host.items()}
         masks, values = decode_delta(blob, shapes, strategy=strategy)
         updated = apply_delta(host, masks, values)
         self.params = {k: jnp.asarray(v) for k, v in updated.items()}
 
-    def save_to_frozen_graph(self, save_dir):
-        """Write the deployable client model: an .npz parameter snapshot
-        (the reference's frozen .pb equivalent)."""
+    def save_to_frozen_graph(self, save_dir, fold: bool = True):
+        """Write the deployable client model as an .npz parameter snapshot
+        (the reference's frozen .pb equivalent, SemanticNetwork.py:711).
+
+        By default the BNs are folded into their convs exactly like the
+        reference's trim_graph_frozen constant-fold (graph_utils.py:79-126):
+        half the parameters, zero BN ops in the deployed graph.  Pass
+        ``fold=False`` for the raw (bit-parity eval) form.
+        """
         host = self.get_vars()
+        if fold and not self._folded:
+            from ams_tpu.models.frozen import fold_student
+
+            host = {k: np.asarray(v) for k, v in fold_student(host).items()}
         np.savez(save_dir + ".npz", **host)
 
     def get_frozen_graph(self):

@@ -23,7 +23,8 @@ def _state_paths(prefix: str):
 def save_state(prefix: str, *, network, memory, second: int, send_rate,
                sample_per_period, up_bw, down_bw, model_save_times,
                save_range, trained_seconds, update_count,
-               atr_state: Optional[dict] = None) -> None:
+               atr_state: Optional[dict] = None,
+               up_codec_exact=()) -> None:
     npz_path, meta_path = _state_paths(prefix)
     arrays = {"param:" + k: v for k, v in network.get_vars().items()}
     opt = network.opt_state
@@ -41,6 +42,7 @@ def save_state(prefix: str, *, network, memory, second: int, send_rate,
     meta = {"second": int(second), "send_rate": float(send_rate),
             "sample_per_period": list(map(float, sample_per_period)),
             "up_bw": list(map(float, up_bw)),
+            "up_codec_exact": list(map(bool, up_codec_exact)),
             "down_bw": list(map(float, down_bw)),
             "model_save_times": list(map(float, model_save_times)),
             "save_range": list(map(int, save_range)),

@@ -59,6 +59,9 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
     send_rate = sampling_period / fps
     sample_per_period: List[int] = []
     up_bw_per_period: List[float] = []
+    up_codec_exact: List[bool] = []  # False where the mp4v fallback (no
+    # bitrate target) produced the period — its bw numbers aren't comparable
+    # with the reference's 2-pass H.264 (run.py:195-276)
     down_bw_per_period: List[float] = []
     frame_label_bucket = []
     num_unseen_frames = 0
@@ -92,7 +95,7 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
         over_ride_total_classes=exp_configs.num_classes(exp_num))
 
     save_dir = get_save_dir(cfg, run_label + "_%d" % train_start)
-    network.save_to_frozen_graph(save_dir + "_final")
+    network.save_to_frozen_graph(save_dir + "_final", fold=cfg.fold_deploy)
     print_process("Saved model to %s_final.npz" % save_dir, 0)
 
     resume_prefix = get_save_dir(cfg, run_label)
@@ -110,6 +113,8 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
                 asr.send_rate = send_rate  # controller continues, not resets
             sample_per_period = list(meta["sample_per_period"])
             up_bw_per_period = list(meta["up_bw"])
+            up_codec_exact = list(meta.get("up_codec_exact",
+                                           [True] * len(up_bw_per_period)))
             down_bw_per_period = list(meta["down_bw"])
             model_save_times = list(meta["model_save_times"])
             save_range = list(meta["save_range"])
@@ -161,6 +166,7 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
                     out_hw=(size[0], size[1]), fps=10,
                     work_dir=cfg.output_dir or None)
                 up_bw_per_period.append(res.bits)
+                up_codec_exact.append(bool(res.exact_reference_codec))
                 for f in res.frames:
                     memory.frames.append(np.ascontiguousarray(f, np.uint8))
                 print_process("Uplink video: %.2fKb (%.2fKb/frame)%s"
@@ -170,6 +176,7 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             else:
                 bits = uplink_codec.png_size_probe(to_compress)
                 up_bw_per_period.append(bits)
+                up_codec_exact.append(True)
                 for f in to_compress:
                     memory.frames.append(np.ascontiguousarray(f, np.uint8))
             to_compress.clear()
@@ -185,11 +192,11 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             trained_seconds.add(i // fps)
             if cfg.enable_ASR:
                 i_start = max(0, len(label_memory) - num_unseen_frames - 1)
-                phis = []
-                for k in range(i_start, len(label_memory) - 1):
-                    _, _, phi = network.calc_cross_miou(
-                        np.array([label_memory[k], label_memory[k + 1]]))
-                    phis.append(phi)
+                recent = list(label_memory)[i_start:]
+                # all consecutive pairs in ONE device dispatch (vs the
+                # reference's per-pair sess.run loop, run.py:279-290)
+                phis = network.calc_cross_miou_seq(np.array(recent)) \
+                    if len(recent) >= 2 else []
                 if phis:
                     send_rate = asr.update(phis)
                     print_process("Send rate updated to %.2f" % send_rate,
@@ -238,7 +245,7 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             print("Using %.1fKbps for updating params" % (curr_update // 1024))
 
             save_dir = get_save_dir(cfg, run_label + "_%d" % (i // fps))
-            network.save_to_frozen_graph(save_dir + "_final")
+            network.save_to_frozen_graph(save_dir + "_final", fold=cfg.fold_deploy)
             print_process("Saved model to %s_final.npz" % save_dir, i / fps)
             model_save_times.append(i / fps)
 
@@ -249,6 +256,7 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
                     second=i, send_rate=send_rate,
                     sample_per_period=sample_per_period,
                     up_bw=up_bw_per_period, down_bw=down_bw_per_period,
+                    up_codec_exact=up_codec_exact,
                     model_save_times=model_save_times,
                     save_range=save_range, trained_seconds=trained_seconds,
                     update_count=update_count,
@@ -261,6 +269,8 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
     final_save_dir = get_save_dir(cfg, run_label + "_results")
     np.save(final_save_dir + "_fps_client.npy", sample_per_period)
     np.save(final_save_dir + "_bw_uplink.npy", up_bw_per_period)
+    np.save(final_save_dir + "_uplink_exact.npy",
+            np.asarray(up_codec_exact, bool))
     np.save(final_save_dir + "_bw_downlink.npy", down_bw_per_period)
     np.save(final_save_dir + "_model_update_times.npy", model_save_times)
     with open(final_save_dir + "_update.txt", "w") as f:

@@ -20,7 +20,9 @@ def test_delta_stream_roundtrip(tmp_path):
                              height=32, scale=[1], mini_batch_size=2,
                              lr=1e-2, coord_frac=0.1, seed=3)
     # client starts from the same pretrained deployment
-    server.save_to_frozen_graph(str(tmp_path / "initial"))
+    # the delta-consuming client keeps RAW weights (deltas are keyed on raw
+    # variable names); folded artifacts are for the whole-model deploy path
+    server.save_to_frozen_graph(str(tmp_path / "initial"), fold=False)
     client = SemanticNetwork(meta_dir=str(tmp_path / "initial"),
                              class_weights_exp=cw, height=32, frozen=True,
                              seed=3)
