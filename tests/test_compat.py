@@ -104,3 +104,85 @@ def test_phase_timer():
     assert t.counts["a"] == 2 and t.counts["b"] == 1
     s = t.summary()
     assert "a" in s and "mean_ms" in s
+
+
+def test_v3_training_var_names_filters():
+    """The reference's tvar filters (graph_utils.py:420-430): no
+    expanded_conv_4..12, nothing >= 1e4 elements; biases-only drops
+    'weight' names (observable in 'training_var_names' only for v3)."""
+    s = compat.create_student_v3(None, class_weights=_cw([0, 2, 13]))
+    names = s["training_var_names"]
+    assert names
+    assert not any("conv_%d/" % i in n for n in names for i in range(4, 13))
+    assert all(int(np.prod(s["params"][n].shape)) < 1e4 for n in names)
+
+    s_b = compat.create_student_v3(None, class_weights=_cw([0, 2, 13]),
+                                   train_biases_only=True)
+    assert all("weight" not in n for n in s_b["training_var_names"])
+
+
+def test_v3_drift_and_regularize():
+    cw = _cw([0, 2, 13])
+    s = compat.create_student_v3(None, class_weights=cw, regularize=True)
+    s0 = compat.create_student_v3(None, class_weights=cw)
+    frames = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (1, 32, 64, 3)), jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 19, (1, 32, 64)))
+    # regularize adds 0.01 * mean(l2_loss over tvars)
+    base = float(s0["loss"](s0["params"], frames, labels))
+    reg = float(s["loss"](s["params"], frames, labels))
+    expect = 0.01 * float(np.mean(
+        [np.sum(np.square(np.asarray(s["params"][k]))) / 2
+         for k in s["training_var_names"]]))
+    np.testing.assert_allclose(reg - base, expect, rtol=1e-4)
+    # drift is zero at the checkpoint and grows when params move
+    assert float(s["drift_loss"](s["params"])) == 0.0
+    moved = dict(s["params"])
+    k = s["training_var_names"][0]
+    moved[k] = moved[k] + 0.1
+    assert float(s["drift_loss"](moved)) > 0
+    # loss_sel is finite (per-class selective CE, graph_utils.py:410-418)
+    assert np.isfinite(float(s0["loss_sel"](s0["params"], frames, labels)))
+
+
+def test_v2_threshold_gate_and_biases_only_train():
+    cw = _cw([0, 2, 13])
+    frames = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (1, 32, 64, 3)), jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 19, (1, 32, 64)))
+
+    gated = compat.create_student_v2(None, class_weights=cw, threshold=0.99,
+                                     map_misc=2)
+    preds = np.asarray(gated["predictions"](gated["params"], frames))
+    assert (preds == 2).mean() > 0.5  # random weights rarely clear 0.99
+
+    # v2 honors train_biases_only in the train op (var_list=tvars):
+    # weights must not move, non-weight trainables must.
+    s = compat.create_student_v2(None, class_weights=cw,
+                                 train_biases_only=True)
+    opt = s["opt_init"]()
+    p0 = {k: np.asarray(v) for k, v in s["params"].items()}
+    p1, opt, loss = s["train"](s["params"], opt, frames, labels,
+                               jnp.float32(1e-2))
+    assert np.isfinite(float(loss))
+    moved = [k for k in p0
+             if not np.array_equal(p0[k], np.asarray(p1[k]))]
+    assert moved
+    assert all("weight" not in k for k in moved)
+    assert all("moving_" not in k for k in moved)
+
+
+def test_v1_cache_flow():
+    """v1's image/label cache variables + is_inference cond, emulated with
+    host caches: load once, train repeatedly on the cached pair."""
+    cw = _cw([0, 2, 13])
+    s = compat.create_student(None, class_weights=cw)
+    frames = np.random.RandomState(0).randint(0, 256, (1, 32, 64, 3)).astype(
+        np.float32)
+    labels = np.random.RandomState(1).randint(0, 19, (1, 32, 64))
+    s["load_image"](frames)
+    s["load_label"](labels)
+    opt = s["opt_init"]()
+    p, opt, l1 = s["train_cached"](s["params"], opt, jnp.float32(1e-2))
+    p, opt, l2 = s["train_cached"](p, opt, jnp.float32(1e-2))
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
