@@ -62,7 +62,8 @@ def masked_mean(x, mask):
 
 def distill_loss(params, frames, labels, class_indices, num_classes, *,
                  train=True, teacher_logits=None, compute_dtype=jnp.float32,
-                 stats_out=None, precision=None, fused=False):
+                 stats_out=None, precision=None, fused=False,
+                 class_mask=None):
     """Scalar distillation loss + aux dict.
 
     Args:
@@ -74,10 +75,18 @@ def distill_loss(params, frames, labels, class_indices, num_classes, *,
         teacher_logits: optional (B, H, W, num_classes) for soft-teacher CE.
         stats_out: optional dict to capture BN batch moments for the
             moving-average update.
+        class_mask: optional (len(class_indices),) {0,1} vector narrowing the
+            live classes AS DATA (multi-video rounds share one trace whose
+            static ``class_indices`` is the union of the videos' subsets;
+            each video passes its own mask).  Masked positions get -inf
+            logits and zero label validity, so the CE equals the one a trace
+            with exactly that video's subset would compute.
 
     Returns:
         (loss, aux) with aux = {'predictions', 'weights', 'logits_reduced'}.
     """
+    if class_mask is not None:
+        assert not fused, "class_mask is not supported on the fused path"
     if teacher_logits is None and fused:
         # Fast loss: grid-level logits + the fused Pallas upsample+CE kernel
         # (ops.fused_resize_ce) — full-resolution logits never touch HBM.
@@ -106,10 +115,21 @@ def distill_loss(params, frames, labels, class_indices, num_classes, *,
     reduced_logits = jnp.take(logits, jnp.asarray(class_indices), axis=-1)
     reduced_labels, weights, filtered_onehot = reduce_labels(
         labels, class_indices, num_classes)
+    if class_mask is not None:
+        cm = class_mask.astype(reduced_logits.dtype)
+        reduced_logits = jnp.where(cm > 0, reduced_logits,
+                                   jnp.asarray(-1e9, reduced_logits.dtype))
+        filtered_onehot = filtered_onehot * class_mask.astype(
+            filtered_onehot.dtype)
+        weights = jnp.sum(filtered_onehot, axis=-1)
     if teacher_logits is not None:
-        soft = jax.nn.softmax(
-            jnp.take(teacher_logits, jnp.asarray(class_indices), axis=-1),
-            axis=-1)
+        red_teacher = jnp.take(teacher_logits, jnp.asarray(class_indices),
+                               axis=-1)
+        if class_mask is not None:
+            red_teacher = jnp.where(class_mask.astype(red_teacher.dtype) > 0,
+                                    red_teacher,
+                                    jnp.asarray(-1e9, red_teacher.dtype))
+        soft = jax.nn.softmax(red_teacher, axis=-1)
         pixel_loss = softmax_xent_with_soft_labels(reduced_logits, soft)
     else:
         pixel_loss = softmax_xent_with_soft_labels(reduced_logits,

@@ -117,7 +117,7 @@ def make_distill_round(spec: DistillSpec):
 
     @functools.partial(jax.jit, static_argnames=("reselect",))
     def round_fn(params, opt_state, frames_buf, labels_buf, n_valid, rng, lr,
-                 mask, reselect: bool = True):
+                 mask, reselect: bool = True, class_mask=None):
         params_t, bn_state = split_params(params)
         before = params_t  # round-start snapshot (auto reverts to this)
 
@@ -128,7 +128,8 @@ def make_distill_round(spec: DistillSpec):
             loss, _aux = distill_loss(
                 merged, frames, labels, ci, spec.num_classes, train=True,
                 compute_dtype=spec.cdtype, stats_out=stats_cap,
-                precision=spec.precision, fused=spec.fused_loss)
+                precision=spec.precision, fused=spec.fused_loss,
+                class_mask=class_mask)
             return loss, stats_cap
 
         def body(carry, it):

@@ -65,7 +65,8 @@ def make_sharded_distill_round(spec: DistillSpec, mesh: Mesh,
 
 def make_multi_video_round(spec: DistillSpec, mesh: Mesh,
                            videos_per_device: int = 1,
-                           reselect: bool = None):
+                           reselect: bool = None,
+                           with_class_mask: bool = False):
     """V concurrent per-video rounds, V = device count * videos_per_device.
 
     All per-video state (params, opt, mask, buffers) carries a leading V
@@ -73,11 +74,17 @@ def make_multi_video_round(spec: DistillSpec, mesh: Mesh,
     videos' full rounds sequentially (a static loop — local shards larger
     than one video are NOT dropped).  Signature:
         fn(params_V, opt_V, frames_V, labels_V, n_valid_V, rngs_V, lr,
-           mask_V) -> (params_V, opt_V, mask_V, losses_V)
+           mask_V[, class_mask_V]) -> (params_V, opt_V, mask_V, losses_V)
 
     ``reselect`` (coord_desc_auto only): recompute each video's parameter
     subset at iteration 0; pass False to reuse the supplied masks
     (keep_mask=True semantics, SemanticNetwork.py:216-219).
+
+    ``with_class_mask``: the trace's static class_indices is the UNION of
+    the videos' class subsets; each video narrows it with its own
+    (V, len(union)) {0,1} row so its loss matches a per-subset trace
+    (the single-video loop's exp_configs.class_weights semantics,
+    run.py:140-152).
     """
     base = make_distill_round(spec)
     axes = tuple(mesh.axis_names)
@@ -86,13 +93,16 @@ def make_multi_video_round(spec: DistillSpec, mesh: Mesh,
         reselect = spec.strategy == "coord_desc_auto"
     local_v = videos_per_device
 
-    def per_shard(params, opt, frames, labels, n_valid, rng, lr, mask):
+    def per_shard(params, opt, frames, labels, n_valid, rng, lr, mask,
+                  class_mask=None):
         outs = []
         for j in range(local_v):
             sq = lambda t: jax.tree.map(lambda x: x[j], t)  # noqa: E731
             outs.append(base(sq(params), sq(opt), frames[j], labels[j],
                              n_valid[j], rng[j], lr, sq(mask),
-                             reselect=reselect))
+                             reselect=reselect,
+                             class_mask=None if class_mask is None
+                             else class_mask[j]))
         stack = lambda *xs: jnp.stack(xs)  # noqa: E731
         p = jax.tree.map(stack, *[o[0] for o in outs])
         o_ = jax.tree.map(stack, *[o[1] for o in outs])
@@ -100,9 +110,12 @@ def make_multi_video_round(spec: DistillSpec, mesh: Mesh,
         losses = jnp.stack([o[3] for o in outs])
         return p, o_, m, losses
 
+    in_specs = (lead, lead, lead, lead, lead, lead, P(), lead)
+    if with_class_mask:
+        in_specs = in_specs + (lead,)
     mapped = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(lead, lead, lead, lead, lead, lead, P(), lead),
+        in_specs=in_specs,
         out_specs=(lead, lead, lead, lead),
         check_rep=False)
     return jax.jit(mapped)

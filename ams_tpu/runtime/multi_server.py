@@ -45,10 +45,12 @@ from ams_tpu.stream.codec import encode_delta
 class MultiVideoServer:
     """V students trained concurrently on a device mesh.
 
-    Every video must share the model family and total class count (the
-    per-video CLASS SUBSET may differ — class selection happens in the loss
-    via each video's class-index vector; for simplicity this first version
-    requires a common subset size and pads the union).
+    Every video must share the model family and total class count; the
+    per-video CLASS SUBSET may differ.  The round's static class space is
+    the union of the subsets, and each video narrows it with a per-video
+    {0,1} class mask carried as data (masked classes get -inf logits and
+    zero label validity), so every video's loss equals what the
+    single-video loop computes with exp_configs.class_weights(video).
     """
 
     def __init__(self, video_ids: Sequence[int], height: int,
@@ -67,10 +69,14 @@ class MultiVideoServer:
         assert len(n_classes) == 1, \
             "all videos must share the total class count"
         self.num_classes = n_classes.pop()
-        union = sorted(set().union(
-            *[set(exp_configs.class_indices(v).tolist())
-              for v in self.video_ids]))
+        subsets = [set(exp_configs.class_indices(v).tolist())
+                   for v in self.video_ids]
+        union = sorted(set().union(*subsets))
         self.class_indices = tuple(union)
+        # per-video class masks over the union (data, not trace structure)
+        self.class_mask_V = jnp.asarray(
+            [[1.0 if c in s else 0.0 for c in union] for s in subsets],
+            jnp.float32)
 
         self.mesh = mesh if mesh is not None else make_mesh(
             min(self.V, len(jax.devices())))
@@ -98,6 +104,11 @@ class MultiVideoServer:
         self._initial = per_video[0]
         self.params_V = stack_videos([
             {k: jnp.asarray(v) for k, v in p.items()} for p in per_video])
+        # per-video pretrained snapshot for the restore-before-round
+        # semantics (the single-video loop's no_restore=False default,
+        # run.py:309-310)
+        self._initial_V = {k: jnp.asarray(v)
+                           for k, v in self.params_V.items()}
         self.opt_V = stack_videos(
             [adam_init(split_params(p)[0]) for p in per_video])
         self.mask_V = stack_videos([all_true_mask(p) for p in per_video])
@@ -122,15 +133,22 @@ class MultiVideoServer:
             spec = dataclasses.replace(self.spec, iters=iters)
             self._round_cache[key] = make_multi_video_round(
                 spec, self.mesh, videos_per_device=self.videos_per_device,
-                reselect=reselect)
+                reselect=reselect, with_class_mask=True)
         return self._round_cache[key]
 
-    def train_round(self, iters: int, keep_mask: bool = False) -> np.ndarray:
+    def train_round(self, iters: int, keep_mask: bool = False,
+                    no_restore: bool = True) -> np.ndarray:
         """One distillation round for EVERY video; (V, iters) loss trace.
 
         ``keep_mask=True`` (coord_desc_auto) reuses the previous round's
         per-video parameter subsets instead of reselecting at iteration 0.
+        ``no_restore=False`` resets every video to its pretrained weights
+        before training, matching the single-video loop's default
+        (run.py:309-310; Adam slots persist through the reset like the
+        reference's filtered restore).
         """
+        if not no_restore:
+            self.restore_initial()
         bufs = [m.device_buffers() for m in self.memories]
         frames_V = jnp.asarray(np.stack([b[0] for b in bufs]))
         labels_V = jnp.asarray(np.stack([b[1] for b in bufs]))
@@ -142,18 +160,19 @@ class MultiVideoServer:
         with self.mesh:
             self.params_V, self.opt_V, self.mask_V, losses = round_fn(
                 self.params_V, self.opt_V, frames_V, labels_V, n_valid_V,
-                rngs_V, jnp.float32(self.lr), self.mask_V)
+                rngs_V, jnp.float32(self.lr), self.mask_V, self.class_mask_V)
         self.last_losses = np.asarray(losses)
         return self.last_losses
 
     def restore_initial(self, video_idx: Optional[int] = None) -> None:
-        """Reset one (or all) videos to the pretrained weights."""
-        init = {k: np.asarray(v) for k, v in self._initial.items()}
+        """Reset one (or all) videos to their OWN pretrained weights
+        (optimizer slots persist, like the reference's filtered restore)."""
+        if video_idx is None:
+            self.params_V = dict(self._initial_V)
+            return
         host = {k: np.array(v) for k, v in self.params_V.items()}  # writable
-        idxs = range(self.V) if video_idx is None else [video_idx]
         for k in host:
-            for i in idxs:
-                host[k][i] = init[k]
+            host[k][video_idx] = np.asarray(self._initial_V[k][video_idx])
         self.params_V = {k: jnp.asarray(v) for k, v in host.items()}
 
     # ------------------------------------------------------- downlink

@@ -148,3 +148,34 @@ def test_predict_fn(small_setup):
     # confusion total equals number of valid (selected-class) pixels
     n_valid = np.isin(np.asarray(labels[:1]), [0, 2, 5, 10]).sum()
     assert abs(float(np.asarray(cm).sum()) - n_valid) < 1e-3
+
+
+def test_class_mask_matches_subset_trace():
+    """distill_loss with class_indices=union + a {0,1} class_mask equals a
+    trace built with exactly the subset's class_indices (the multi-video
+    per-video class-subset mechanism)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ams_tpu.distill.loss import distill_loss
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (2, 32, 64, 3)), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 19, (2, 32, 64)))
+
+    union = (0, 1, 2, 8, 10, 11, 13)
+    subset = (0, 2, 8, 10, 11, 13)            # video 17's classes
+    mask = jnp.asarray([1.0 if c in subset else 0.0 for c in union])
+
+    loss_masked, aux_m = distill_loss(params, frames, labels,
+                                      jnp.asarray(union), 19,
+                                      train=True, class_mask=mask)
+    loss_subset, aux_s = distill_loss(params, frames, labels,
+                                      jnp.asarray(subset), 19, train=True)
+    np.testing.assert_allclose(float(loss_masked), float(loss_subset),
+                               rtol=1e-6)
+    # weights agree: pixels outside the subset are invalid in both
+    np.testing.assert_array_equal(np.asarray(aux_m["weights"]),
+                                  np.asarray(aux_s["weights"]))

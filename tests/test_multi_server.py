@@ -102,3 +102,44 @@ def test_video_count_must_divide_mesh():
     with pytest.raises(AssertionError):
         MultiVideoServer(video_ids=[25, 22, 12], height=32, batch_size=2,
                          lr=1e-3, memory_capacity=4, mesh=make_mesh(2))
+
+
+def test_different_class_subsets_per_video():
+    """Videos with DIFFERENT class subsets train with their own loss
+    support (per-video class masks over the union) and their delta
+    payloads decode correctly."""
+    from ams_tpu.parallel.mesh import make_mesh
+    from ams_tpu import configs
+
+    srv = MultiVideoServer(video_ids=[25, 17], height=32, batch_size=2,
+                           lr=1e-2, strategy="coord_desc_auto",
+                           coord_frac=0.1, memory_capacity=4,
+                           mesh=make_mesh(2))
+    # 25 -> {0,1,2,10,11,13}, 17 -> {0,2,8,10,11,13}: union has 7 classes
+    assert len(srv.class_indices) == 7
+    cm = np.asarray(srv.class_mask_V)
+    assert cm.shape == (2, 7)
+    assert not np.array_equal(cm[0], cm[1])
+    for v, vid in enumerate(srv.video_ids):
+        sub = set(configs.class_indices(vid).tolist())
+        got = {c for c, m in zip(srv.class_indices, cm[v]) if m > 0}
+        assert got == sub
+
+    rng = np.random.RandomState(0)
+    for v in range(2):
+        srv.ingest(v, [rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+                       for _ in range(3)],
+                   [rng.randint(0, 19, (32, 64)).astype(np.uint8)
+                    for _ in range(3)])
+    losses = srv.train_round(iters=2, no_restore=False)
+    assert losses.shape == (2, 2)
+    assert np.isfinite(losses).all()
+
+    for v in range(2):
+        blob = srv.encode_delta(v)
+        shapes = {k: val.shape for k, val in srv.video_params(v).items()}
+        masks, values = decode_delta(blob, shapes,
+                                     strategy="coord_desc_auto")
+        total = sum(m.size for m in masks.values())
+        sel = sum(int(m.sum()) for m in masks.values())
+        assert 0.05 < sel / total < 0.15
