@@ -64,10 +64,25 @@ class DistillSpec:
     # lose to XLA's fused resize at gh,gw=17x33) — off by default, kept for
     # larger-grid regimes.
     fused_loss: bool = False
+    # coord_desc_auto's parameter SELECTION (iteration 0's full step + the
+    # top-|delta| quantile, SemanticNetwork.py:263-288) is noise-sensitive:
+    # Adam's first-step |delta| is ~lr for every live coordinate, so the
+    # percentile threshold slices a dense cluster where bf16 rounding
+    # reorders freely.  "float32" (default) peels iteration 0 out of the
+    # scan and runs it at f32/HIGHEST — reference-exact selection at ~1/iters
+    # of the round's cost — while the remaining iterations keep
+    # compute_dtype.  "compute" keeps everything in compute_dtype.
+    select_dtype: str = "float32"
 
     @property
     def cdtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def select_cdtype(self):
+        if self.select_dtype == "compute":
+            return jnp.dtype(self.compute_dtype)
+        return jnp.dtype(self.select_dtype)
 
     @property
     def precision(self):
@@ -121,19 +136,18 @@ def make_distill_round(spec: DistillSpec):
         params_t, bn_state = split_params(params)
         before = params_t  # round-start snapshot (auto reverts to this)
 
-        def loss_fn(pt, bn_state, frames, labels):
+        def loss_fn(pt, bn_state, frames, labels, cdtype):
             stats_cap = {}
             merged = dict(pt)
             merged.update(bn_state)
             loss, _aux = distill_loss(
                 merged, frames, labels, ci, spec.num_classes, train=True,
-                compute_dtype=spec.cdtype, stats_out=stats_cap,
+                compute_dtype=cdtype, stats_out=stats_cap,
                 precision=spec.precision, fused=spec.fused_loss,
                 class_mask=class_mask)
             return loss, stats_cap
 
-        def body(carry, it):
-            params_t, bn_state, opt_state, mask = carry
+        def draw(it):
             k = jax.random.fold_in(rng, it)
             idx = jax.random.randint(k, (spec.batch_size,), 0,
                                      jnp.maximum(n_valid, 1))
@@ -145,38 +159,58 @@ def make_distill_round(spec: DistillSpec):
                 ls = P(spec.batch_axis, None, spec.width_axis)
                 frames = jax.lax.with_sharding_constraint(frames, fs)
                 labels = jax.lax.with_sharding_constraint(labels, ls)
+            return frames, labels
 
+        def step(params_t, bn_state, opt_state, it, cdtype):
+            """One masked-Adam iteration: (loss, stepped, new_bn, opt)."""
+            frames, labels = draw(it)
             (loss, stats_cap), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params_t, bn_state, frames, labels)
+                loss_fn, has_aux=True)(params_t, bn_state, frames, labels,
+                                       cdtype)
             stepped, opt_state = adam_apply(params_t, grads, opt_state, lr)
-
-            if auto and reselect:
-                def select(_):
-                    delta = _flat_abs_delta(stepped, before)
-                    thr = jnp.quantile(delta, 1.0 - spec.coord_frac,
-                                       method="linear")
-                    new_mask = {kk: jnp.abs(stepped[kk] - before[kk]) > thr
-                                for kk in stepped}
-                    return _tree_where(new_mask, stepped, before), new_mask
-
-                def keep(_):
-                    return _tree_where(mask, stepped, params_t), mask
-
-                new_params, mask = jax.lax.cond(it == 0, select, keep, None)
-            else:
-                new_params = _tree_where(mask, stepped, params_t)
-
             # Moving-average update runs every step for every BN regardless of
             # masks (the reference's update_bn control deps + the fact that
             # the where-revert only covers trainable vars).
             new_bn = {kk: layers.moving_average_update(
                 bn_state[kk], stats_cap[kk], n_elems=1, decay=layers.BN_DECAY,
                 bessel=False) for kk in bn_state}
-            return (new_params, new_bn, opt_state, mask), loss
+            return loss, stepped, new_bn, opt_state
 
-        (params_t, bn_state, opt_state, mask), losses = jax.lax.scan(
-            body, (params_t, bn_state, opt_state, mask),
-            jnp.arange(spec.iters))
+        def body(carry, it):
+            params_t, bn_state, opt_state = carry
+            loss, stepped, new_bn, opt_state = step(params_t, bn_state,
+                                                    opt_state, it, spec.cdtype)
+            new_params = _tree_where(mask, stepped, params_t)
+            return (new_params, new_bn, opt_state), loss
+
+        first_iter = 0
+        losses0 = []
+        if auto and reselect:
+            # Peeled selection iteration (reference SemanticNetwork.py:263-288
+            # runs it at iteration 0 of every round): one full-model Adam
+            # step at select_dtype (f32/HIGHEST by default — the selection
+            # quantile is too noise-sensitive for bf16), rank |delta| across
+            # ALL trainable params, keep the top coord_frac percentile,
+            # revert the rest.
+            loss0, stepped, bn_state, opt_state = step(
+                params_t, bn_state, opt_state, 0, spec.select_cdtype)
+            delta = _flat_abs_delta(stepped, before)
+            thr = jnp.quantile(delta, 1.0 - spec.coord_frac, method="linear")
+            mask = {kk: jnp.abs(stepped[kk] - before[kk]) > thr
+                    for kk in stepped}
+            params_t = _tree_where(mask, stepped, before)
+            first_iter = 1
+            losses0 = [loss0[None]]
+
+        if spec.iters > first_iter:
+            (params_t, bn_state, opt_state), losses = jax.lax.scan(
+                body, (params_t, bn_state, opt_state),
+                jnp.arange(first_iter, spec.iters))
+            losses = jnp.concatenate(losses0 + [losses]) if losses0 \
+                else losses
+        else:
+            losses = jnp.concatenate(losses0) if losses0 \
+                else jnp.zeros((0,), jnp.float32)
         out = dict(params_t)
         out.update(bn_state)
         return out, opt_state, mask, losses

@@ -44,6 +44,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ams_tpu.models.frozen import fold_student, student_predict_fast_folded
     from ams_tpu.models.mobilenetv2_deeplab import (
         init_student_params,
         student_forward,
@@ -51,10 +52,18 @@ def main():
     )
 
     params = init_student_params(jax.random.PRNGKey(0))
+    folded = fold_student(params)
     batch = 128
     frames = jnp.asarray(
         np.random.RandomState(0).randint(0, 256, (batch, 512, 512, 3)),
         jnp.uint8)
+
+    @jax.jit
+    def fast_folded(folded, frames):
+        # the DEPLOYED client artifact: BN-folded bf16 forward + the fused
+        # Pallas upsample+argmax kernel
+        return student_predict_fast_folded(
+            folded, frames.astype(jnp.float32), tuple(range(19))).sum()
 
     @jax.jit
     def fast(params, frames):
@@ -69,9 +78,12 @@ def main():
         return preds.sum()
 
     try:
-        fps = _measure(fast, params, frames, batch)
+        fps = _measure(fast_folded, folded, frames, batch)
     except Exception:
-        fps = _measure(precise, params, frames, batch)
+        try:
+            fps = _measure(fast, params, frames, batch)
+        except Exception:
+            fps = _measure(precise, params, frames, batch)
 
     print(json.dumps({
         "metric": "student_frames_per_sec_512",
