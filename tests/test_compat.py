@@ -2,6 +2,7 @@
 tracing utilities."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -145,6 +146,7 @@ def test_v3_drift_and_regularize():
     assert np.isfinite(float(s0["loss_sel"](s0["params"], frames, labels)))
 
 
+@pytest.mark.slow
 def test_v2_threshold_gate_and_biases_only_train():
     cw = _cw([0, 2, 13])
     frames = jnp.asarray(np.random.RandomState(0).randint(

@@ -8,6 +8,9 @@ from ams_tpu.runtime.config import RunConfig, get_save_dir
 from ams_tpu.runtime.server import train_model
 
 
+
+pytestmark = pytest.mark.slow  # e2e: run with -m slow
+
 def test_asr_atr_in_server_loop(tmp_path, capsys):
     vid = str(tmp_path / "90-clip.mp4")
     gt = str(tmp_path / "gt") + "/"

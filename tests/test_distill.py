@@ -41,6 +41,7 @@ def _run_round(params, frames, labels, strategy, iters=2, mask=None,
                     jax.random.PRNGKey(1), jnp.float32(1e-3), mask)
 
 
+@pytest.mark.slow
 def test_full_model_round(small_setup):
     params, frames, labels = small_setup
     new_params, opt, mask, losses = _run_round(params, frames, labels,
@@ -66,6 +67,7 @@ def test_full_model_round(small_setup):
     assert int(opt.step) == 2
 
 
+@pytest.mark.slow
 def test_coord_desc_auto_selects_fraction(small_setup):
     params, frames, labels = small_setup
     new_params, _opt, mask, losses = _run_round(
@@ -82,6 +84,7 @@ def test_coord_desc_auto_selects_fraction(small_setup):
                                       np.asarray(train[k])[~m])
 
 
+@pytest.mark.slow
 def test_zero_mask_freezes_params_but_not_bn(small_setup):
     params, frames, labels = small_setup
     zero = {k: jnp.zeros(v.shape, bool)

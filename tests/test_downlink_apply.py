@@ -2,11 +2,15 @@
 frozen client, predictions converge to the server's."""
 
 import numpy as np
+import pytest
 
 from ams_tpu.runtime.network import SemanticNetwork
 from ams_tpu.stream.codec import encode_delta
 from ams_tpu.models.var_order import TRAINABLE_ORDER
 
+
+
+pytestmark = pytest.mark.slow  # e2e: run with -m slow
 
 def _cw(idx, n=19):
     w = np.zeros((n, 1), np.float32)

@@ -31,6 +31,7 @@ def _cfg(vid, gt, out, **kw):
     return RunConfig(**base)
 
 
+@pytest.mark.slow
 def test_early_mode_full_loop(synthetic_video):
     vid, gt, out = synthetic_video
     cfg = _cfg(vid, gt, out)
@@ -68,6 +69,7 @@ def test_simple_mode_artifacts(synthetic_video):
     assert os.path.exists(results + "_mioumems.npy")
 
 
+@pytest.mark.slow
 def test_coord_desc_auto_loop(synthetic_video):
     vid, gt, out = synthetic_video
     cfg = _cfg(vid, gt, out, train_strategy="coord_desc_auto",

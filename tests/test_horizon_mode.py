@@ -8,6 +8,9 @@ from ams_tpu.runtime.config import RunConfig
 from ams_tpu.runtime.modes import run_experiment
 
 
+
+pytestmark = pytest.mark.slow  # e2e: run with -m slow
+
 def test_horizon_mode_end_to_end(tmp_path, capsys):
     vid = str(tmp_path / "90-clip.mp4")
     gt = str(tmp_path / "gt") + "/"

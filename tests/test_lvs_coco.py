@@ -21,6 +21,7 @@ def test_coco_remap_in_label_loading(tmp_path):
     assert set(np.unique(label)) <= {0, 7, 15}
 
 
+@pytest.mark.slow
 def test_lvs_end_to_end(tmp_path):
     vid = str(tmp_path / "92-lvs.mp4")
     gt = str(tmp_path / "gt") + "/"

@@ -26,6 +26,9 @@ from ams_tpu.distill.train_step import (
 from ams_tpu.models.mobilenetv2_deeplab import init_student_params
 
 
+
+pytestmark = pytest.mark.slow  # e2e: run with -m slow
+
 def _run_round(compute_dtype, frames, labels, iters=3):
     spec = DistillSpec(iters=iters, batch_size=2, num_classes=19,
                        class_indices=(0, 1, 2, 10, 11, 13),

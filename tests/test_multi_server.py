@@ -9,7 +9,11 @@ from ams_tpu.runtime.multi_server import MultiVideoServer
 from ams_tpu.stream.codec import decode_delta
 
 
+pytestmark = pytest.mark.slow  # e2e: run with -m slow
+
+
 @pytest.fixture(scope="module")
+
 def server():
     n = min(4, len(jax.devices()))
     from ams_tpu.parallel.mesh import make_mesh

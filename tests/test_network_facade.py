@@ -32,6 +32,7 @@ def test_predict_and_metric(net):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_train_round_and_delta_outputs(net):
     rng = np.random.RandomState(0)
     frames = [rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)

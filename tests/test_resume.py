@@ -12,7 +12,11 @@ from ams_tpu.runtime.config import RunConfig, get_save_dir
 from ams_tpu.runtime.server import train_model
 
 
+pytestmark = pytest.mark.slow  # e2e: run with -m slow
+
+
 @pytest.fixture(scope="module")
+
 def clip(tmp_path_factory):
     root = tmp_path_factory.mktemp("resume")
     vid = str(root / "90-clip.mp4")

@@ -27,6 +27,7 @@ def test_encode_decode_roundtrip(tmp_path):
     assert not np.array_equal(res.frames[0], src)
 
 
+@pytest.mark.slow
 def test_server_loop_with_compressed_uplink(tmp_path):
     from ams_tpu.data.video import write_synthetic_clip
     from ams_tpu.runtime.config import RunConfig, get_save_dir
