@@ -273,17 +273,21 @@ def student_grid_logits(params: Params, frames, *, train: bool = False,
 
 
 def student_predict_fast(params: Params, frames, class_indices, *,
-                         train: bool = False, interpret: bool = None):
-    """Fast client inference: bf16 forward + the fused Pallas
-    upsample+argmax kernel (ops.fused_resize_argmax) — never materializes
-    the full-resolution logits.  Class gather commutes with the per-channel
-    resize, so predictions equal the precise path's off float ties.
+                         train: bool = False, interpret: bool = None,
+                         compute_dtype=jnp.bfloat16):
+    """Fast client inference: forward at ``compute_dtype`` + the fused
+    Pallas upsample+argmax kernel (ops.fused_resize_argmax) — never
+    materializes the full-resolution logits.  Class gather commutes with
+    the per-channel resize, so predictions equal the precise path's off
+    float ties.  compute_dtype=float32 gives the parity-numerics forward
+    (HIGHEST convs) with the fused epilogue: 1 328 f/s @512x512 b128 on
+    v5e-1 vs 453 f/s materializing full-resolution logits.
     """
     from ams_tpu.ops.fused_resize_argmax import fused_resize_argmax
 
     b, h, w, _ = frames.shape
     grid = student_grid_logits(params, frames, train=train,
-                               compute_dtype=jnp.bfloat16)
+                               compute_dtype=compute_dtype)
     grid = jnp.take(grid.astype(jnp.float32), jnp.asarray(class_indices), -1)
     return fused_resize_argmax(grid, (h, w), interpret=interpret)
 

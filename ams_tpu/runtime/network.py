@@ -138,21 +138,25 @@ class SemanticNetwork:
                 self.TOTAL_CLASSES, ci,
                 train_bn=not frozen, compute_dtype=jnp.dtype(compute_dtype))
 
-        # Deployed clients on the bf16 fast path use the fused Pallas
-        # upsample+argmax kernel (4.2k frames/s/chip @512x512 on v5e-1).
+        # Deployed clients use the fused Pallas upsample+argmax kernel for
+        # label-only prediction at EITHER dtype (bf16: 4 367 f/s, f32
+        # parity numerics: 1 328 f/s @512x512 b128 on v5e-1 — the full-res
+        # logits round trip is the bottleneck either way).  predict_with_
+        # metric keeps the materialized-logits path (it needs the loss).
         self._fast_predict = None
-        if frozen and compute_dtype == "bfloat16":
+        if frozen:
             if self._folded:
                 from ams_tpu.models.frozen import student_predict_fast_folded \
                     as fast_fwd
             else:
                 from ams_tpu.models.mobilenetv2_deeplab import \
                     student_predict_fast as fast_fwd
+            cd = jnp.dtype(compute_dtype)
 
             @jax.jit
             def fast(params, frames):
                 # interpret auto-selected: Mosaic on TPU, interpreter off it
-                return fast_fwd(params, frames, ci)
+                return fast_fwd(params, frames, ci, compute_dtype=cd)
 
             self._fast_predict = fast
 

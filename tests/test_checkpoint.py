@@ -43,3 +43,34 @@ def test_load_any_npz(tmp_path):
     np.savez(path, **{"w": np.ones(3), "w/Adam": np.zeros(3)})
     loaded = ckpt.load_any(path)
     assert set(loaded) == {"w"}
+
+
+def test_teacher_prefixed_npy_checkpoint(tmp_path):
+    """The reference restores the teacher from a 'teacher/'-prefixed .npy
+    dict with ':0' name suffixes (extract_labels.py:58-61, SaveHelper
+    format); compat.create_teacher consumes that exact format."""
+    import jax
+    import jax.numpy as jnp
+    from ams_tpu import compat
+    from ams_tpu.models.xception_deeplab import init_teacher_params
+
+    base = init_teacher_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    perturbed = {}
+    for k in ("xception_65/entry_flow/conv1_1/weights",
+              "aspp0/weights",
+              "concat_projection/BatchNorm/gamma",
+              "logits/semantic/biases"):
+        perturbed[k] = rng.normal(0, 0.05, base[k].shape).astype(np.float32)
+    path = str(tmp_path / "teacher_ckpt.npy")
+    np.save(path, {"teacher/%s:0" % k: v for k, v in perturbed.items()},
+            allow_pickle=True)
+
+    teacher = compat.create_teacher(path)
+    for k, v in perturbed.items():
+        np.testing.assert_array_equal(np.asarray(teacher["params"][k]), v,
+                                      err_msg=k)
+    # untouched keys keep the init values
+    k0 = "xception_65/entry_flow/conv1_2/weights"
+    np.testing.assert_array_equal(np.asarray(teacher["params"][k0]),
+                                  np.asarray(base[k0]))

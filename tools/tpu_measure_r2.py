@@ -92,6 +92,37 @@ def part_infer():
                       "value": round(32 / dt, 1)}), flush=True)
 
 
+def part_precise_fast():
+    """Precise f32 forward (HIGHEST convs) + the fused Pallas resize/argmax:
+    same f32 conv numerics as the parity path, without the full-resolution
+    logits HBM round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.models.frozen import fold_student, student_forward_folded
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+    from ams_tpu.ops.fused_resize_argmax import fused_resize_argmax
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    folded = fold_student(params)
+    ci = tuple(range(19))
+
+    @jax.jit
+    def precise_fast(p, f):
+        grid = student_forward_folded(p, f.astype(jnp.float32), ci,
+                                      compute_dtype=jnp.float32, out_hw=None)
+        return fused_resize_argmax(grid.astype(jnp.float32),
+                                   (512, 512)).sum()
+
+    for batch in (32, 128):
+        frames = jnp.asarray(
+            np.random.RandomState(0).randint(0, 256, (batch, 512, 512, 3)),
+            jnp.uint8)
+        dt = measure(precise_fast, folded, frames, iters=10)
+        print(json.dumps({"metric": "precise_fast_fps_512_b%d" % batch,
+                          "value": round(batch / dt, 1)}), flush=True)
+
+
 def part_rounds():
     import jax
     import jax.numpy as jnp
@@ -140,9 +171,12 @@ def part_rounds():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--part", choices=["infer", "rounds"], default="infer")
+    ap.add_argument("--part", choices=["infer", "rounds", "precise_fast"],
+                    default="infer")
     a = ap.parse_args()
     if a.part == "infer":
         part_infer()
+    elif a.part == "precise_fast":
+        part_precise_fast()
     else:
         part_rounds()
