@@ -58,8 +58,98 @@ class VideoReader:
         self.release()
 
 
-def open_video(path: str) -> VideoReader:
-    return VideoReader(path)
+class PrefetchingVideoReader:
+    """VideoReader with a background decode thread and a bounded buffer.
+
+    The reference's hot loops decode one frame per iteration inline
+    (run.py:158-167, 413-421 — SURVEY.md flags decode as the likely
+    bottleneck); this reader keeps up to ``depth`` frames decoded ahead so
+    video decode overlaps device compute.  API-compatible with VideoReader
+    (read/read_or_die/seek_frame/release); only the worker thread touches
+    the underlying capture, seeks flush the buffer via an epoch counter.
+    """
+
+    def __init__(self, path: str, depth: int = 32):
+        import threading
+
+        self._inner = VideoReader(path)
+        self.path = path
+        self.fps = self._inner.fps
+        self.frame_count = self._inner.frame_count
+        self._depth = max(1, depth)
+        self._buf = []
+        self._cv = threading.Condition()
+        self._eof = False
+        self._stop = False
+        self._epoch = 0
+        self._pending_seek: Optional[int] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                while (not self._stop and self._pending_seek is None
+                       and (len(self._buf) >= self._depth or self._eof)):
+                    self._cv.wait()
+                if self._stop:
+                    return
+                seek = self._pending_seek
+                self._pending_seek = None
+                epoch = self._epoch
+            # decode outside the lock; only this thread touches the capture
+            if seek is not None:
+                self._inner.seek_frame(seek)
+            frame = self._inner.read()
+            with self._cv:
+                if self._epoch != epoch:
+                    continue  # a seek landed mid-decode: drop the stale frame
+                if frame is None:
+                    self._eof = True
+                else:
+                    self._buf.append(frame)
+                self._cv.notify_all()
+
+    def seek_frame(self, index: int) -> None:
+        with self._cv:
+            self._epoch += 1
+            self._buf.clear()
+            self._eof = False
+            self._pending_seek = int(index)
+            self._cv.notify_all()
+
+    def read(self) -> Optional[np.ndarray]:
+        with self._cv:
+            while not self._buf and not self._eof:
+                self._cv.wait()
+            if self._buf:
+                frame = self._buf.pop(0)
+                self._cv.notify_all()
+                return frame
+            return None
+
+    def read_or_die(self) -> np.ndarray:
+        frame = self.read()
+        if frame is None:
+            raise EOFError("Premature end of video")
+        return frame
+
+    def release(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+        self._inner.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+
+def open_video(path: str, prefetch: bool = False):
+    return PrefetchingVideoReader(path) if prefetch else VideoReader(path)
 
 
 def frame_to_rgb(frame_bgr: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:

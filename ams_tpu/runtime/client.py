@@ -15,7 +15,11 @@ from typing import List
 import numpy as np
 
 from ams_tpu import configs as exp_configs
-from ams_tpu.data.video import VideoReader, frame_to_rgb, load_gt_label
+from ams_tpu.data.video import (
+    PrefetchingVideoReader,
+    frame_to_rgb,
+    load_gt_label,
+)
 from ams_tpu.runtime.config import RunConfig, get_save_dir, print_process
 from ams_tpu.runtime.network import SemanticNetwork
 from ams_tpu.utils.metrics import calculate_miou, string_class_iou
@@ -32,7 +36,9 @@ def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
     assert inf_end - inf_start != 0, \
         "There should be at least one set of data points"
     size = cfg.size
-    reader = VideoReader(cfg.input_video)
+    # decode ahead on a worker thread so video decode overlaps device
+    # compute (the reference decodes inline per iteration)
+    reader = PrefetchingVideoReader(cfg.input_video)
     fps = reader.fps
     inf_end_frame = inf_end * fps
     i = inf_start * fps

@@ -23,7 +23,11 @@ import numpy as np
 
 from ams_tpu import configs as exp_configs
 from ams_tpu.data.buffers import FrameMemory, choose_frames
-from ams_tpu.data.video import VideoReader, frame_to_rgb, load_gt_label
+from ams_tpu.data.video import (
+    PrefetchingVideoReader,
+    frame_to_rgb,
+    load_gt_label,
+)
 from ams_tpu.runtime.config import RunConfig, get_save_dir, print_process
 from ams_tpu.runtime.network import SemanticNetwork
 from ams_tpu.stream import uplink as uplink_codec
@@ -45,7 +49,9 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
     assert train_end - train_start != 0, \
         "There should be at least one set of data points"
     size = cfg.size
-    reader = VideoReader(cfg.input_video)
+    # decode ahead on a worker thread so video decode overlaps device
+    # compute (the reference decodes inline per iteration)
+    reader = PrefetchingVideoReader(cfg.input_video)
     fps = reader.fps
     train_end_frame = train_end * fps
     i = train_start * fps

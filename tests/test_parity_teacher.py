@@ -24,16 +24,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 
 from teacher_oracle import params_for  # noqa: E402
 
-FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
-                       "teacher_parity_h65.npz")
+FIXTURES = [os.path.join(os.path.dirname(__file__), "fixtures",
+                         "teacher_parity_h%d.npz" % h) for h in (65, 129)]
 
 
-@pytest.fixture(scope="module")
-def fixture():
-    if not os.path.exists(FIXTURE):
+@pytest.fixture(scope="module", params=FIXTURES,
+                ids=[os.path.basename(p) for p in FIXTURES])
+def fixture(request):
+    path = request.param
+    if not os.path.exists(path):
         pytest.skip("teacher fixture missing "
                     "(run tools/make_teacher_fixture.py)")
-    with np.load(FIXTURE, allow_pickle=True) as z:
+    with np.load(path, allow_pickle=True) as z:
         data = {k: z[k] for k in z.files}
     shapes = {k[len("shape:"):]: tuple(v) for k, v in data.items()
               if k.startswith("shape:")}

@@ -97,3 +97,34 @@ def test_png_probe_counts_bits():
     frames = [np.zeros((16, 16, 3), np.uint8)]
     bits = png_size_probe(frames)
     assert bits > 0
+
+
+def test_prefetching_reader_matches_plain(tmp_path):
+    """PrefetchingVideoReader yields the same frames as VideoReader,
+    including across a mid-stream seek."""
+    import numpy as np
+    from ams_tpu.data.video import (
+        PrefetchingVideoReader,
+        VideoReader,
+        write_synthetic_clip,
+    )
+
+    vid = str(tmp_path / "90-c.mp4")
+    write_synthetic_clip(vid, seconds=2, fps=6, size_hw=(32, 64))
+    plain = VideoReader(vid)
+    pre = PrefetchingVideoReader(vid, depth=4)
+    for _ in range(5):
+        np.testing.assert_array_equal(pre.read_or_die(), plain.read_or_die())
+    plain.seek_frame(2)
+    pre.seek_frame(2)
+    for _ in range(6):
+        np.testing.assert_array_equal(pre.read_or_die(), plain.read_or_die())
+    # drain to EOF on both
+    while True:
+        a, b = pre.read(), plain.read()
+        if a is None or b is None:
+            assert a is None and b is None
+            break
+        np.testing.assert_array_equal(a, b)
+    pre.release()
+    plain.release()

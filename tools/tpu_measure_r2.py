@@ -123,6 +123,36 @@ def part_precise_fast():
                           "value": round(batch / dt, 1)}), flush=True)
 
 
+def part_latency():
+    """Batch-1 per-frame latency of the deployed (folded, fused) client —
+    the edge-device mirror (the emulation favors throughput; this is the
+    interactive number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.models.frozen import fold_student, student_predict_fast_folded
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    folded = fold_student(params)
+    ci = tuple(range(19))
+
+    for cd, tag in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+        @jax.jit
+        def one(p, f, cd=cd):
+            return student_predict_fast_folded(p, f.astype(jnp.float32), ci,
+                                               compute_dtype=cd).sum()
+
+        for hw, name in (((256, 512), "256x512"), ((512, 512), "512x512")):
+            frames = jnp.asarray(
+                np.random.RandomState(0).randint(0, 256, (1,) + hw + (3,)),
+                jnp.uint8)
+            dt = measure(one, folded, frames, iters=30)
+            print(json.dumps({"metric": "latency_b1_%s_%s" % (name, tag),
+                              "value": round(dt * 1000, 3), "unit": "ms"}),
+                  flush=True)
+
+
 def part_rounds():
     import jax
     import jax.numpy as jnp
@@ -171,12 +201,15 @@ def part_rounds():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--part", choices=["infer", "rounds", "precise_fast"],
+    ap.add_argument("--part", choices=["infer", "rounds", "precise_fast",
+                                       "latency"],
                     default="infer")
     a = ap.parse_args()
     if a.part == "infer":
         part_infer()
     elif a.part == "precise_fast":
         part_precise_fast()
+    elif a.part == "latency":
+        part_latency()
     else:
         part_rounds()
