@@ -63,7 +63,7 @@ def masked_mean(x, mask):
 def distill_loss(params, frames, labels, class_indices, num_classes, *,
                  train=True, teacher_logits=None, compute_dtype=jnp.float32,
                  stats_out=None, precision=None, fused=False,
-                 class_mask=None):
+                 class_mask=None, resize_via="gather"):
     """Scalar distillation loss + aux dict.
 
     Args:
@@ -81,6 +81,9 @@ def distill_loss(params, frames, labels, class_indices, num_classes, *,
             each video passes its own mask).  Masked positions get -inf
             logits and zero label validity, so the CE equals the one a trace
             with exactly that video's subset would compute.
+        resize_via: "gather" = the TF-rounding-exact lerp resize (bit-parity
+            path; its BACKWARD is full-resolution scatter-adds); "matmul" =
+            the R@x@C^T form whose backward is MXU matmuls (the fast round).
 
     Returns:
         (loss, aux) with aux = {'predictions', 'weights', 'logits_reduced'}.
@@ -110,9 +113,27 @@ def distill_loss(params, frames, labels, class_indices, num_classes, *,
                "grid_logits_reduced": grid}
         return loss, aux
 
-    logits = student_logits(params, frames, train=train, stats_out=stats_out,
-                            compute_dtype=compute_dtype, precision=precision)
-    reduced_logits = jnp.take(logits, jnp.asarray(class_indices), axis=-1)
+    if resize_via == "matmul":
+        from ams_tpu.models.mobilenetv2_deeplab import student_grid_logits
+        from ams_tpu.models.resize import resize_bilinear_ac_matmul
+
+        b, h, w, _ = frames.shape
+        grid = student_grid_logits(params, frames, train=train,
+                                   stats_out=stats_out,
+                                   compute_dtype=compute_dtype,
+                                   precision=precision)
+        # class gather commutes with the per-channel resize; doing it at
+        # grid level shrinks both the resize and the gather's backward
+        grid_red = jnp.take(grid.astype(jnp.float32),
+                            jnp.asarray(class_indices), axis=-1)
+        reduced_logits = resize_bilinear_ac_matmul(grid_red, (h, w))
+    else:
+        logits = student_logits(params, frames, train=train,
+                                stats_out=stats_out,
+                                compute_dtype=compute_dtype,
+                                precision=precision)
+        reduced_logits = jnp.take(logits, jnp.asarray(class_indices),
+                                  axis=-1)
     reduced_labels, weights, filtered_onehot = reduce_labels(
         labels, class_indices, num_classes)
     if class_mask is not None:

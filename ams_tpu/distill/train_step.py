@@ -73,10 +73,19 @@ class DistillSpec:
     # of the round's cost — while the remaining iterations keep
     # compute_dtype.  "compute" keeps everything in compute_dtype.
     select_dtype: str = "float32"
+    # Loss-resize form: "auto" = MXU-matmul resize for bf16 rounds (the
+    # gather form's backward is full-resolution scatter-adds), TF-exact
+    # gather for f32 parity rounds; or force "gather"/"matmul".
+    loss_resize: str = "auto"
 
     @property
     def cdtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    def resize_via(self, cdtype) -> str:
+        if self.loss_resize != "auto":
+            return self.loss_resize
+        return "gather" if cdtype == jnp.float32 else "matmul"
 
     @property
     def select_cdtype(self):
@@ -144,7 +153,7 @@ def make_distill_round(spec: DistillSpec):
                 merged, frames, labels, ci, spec.num_classes, train=True,
                 compute_dtype=cdtype, stats_out=stats_cap,
                 precision=spec.precision, fused=spec.fused_loss,
-                class_mask=class_mask)
+                class_mask=class_mask, resize_via=spec.resize_via(cdtype))
             return loss, stats_cap
 
         def draw(it):

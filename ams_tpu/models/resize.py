@@ -65,6 +65,47 @@ def resize_bilinear_ac(x, out_hw):
     return out.astype(orig_dtype)
 
 
+def resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) dense align-corners lerp matrix, 2 nnz/row.
+
+    Pure NumPy (callable inside a jit trace without staging); shared by the
+    fused Pallas resize/argmax kernel and the matmul-form resize below.
+    """
+    scale = _ac_scale(in_size, out_size)
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.minimum(np.floor(src).astype(np.int32), in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - w)
+    np.add.at(m, (rows, hi), w)
+    return m
+
+
+def resize_bilinear_ac_matmul(x, out_hw, precision=None):
+    """Same align-corners bilinear map as resize_bilinear_ac, expressed as a
+    pair of dense matmuls ``out = R @ x @ C^T`` instead of gathers + lerps.
+
+    Matters for TRAINING: the gather form's backward is scatter-adds at
+    full resolution (slow on TPU); the matmul form's backward is two more
+    matmuls on the MXU.  Forward values agree with the gather form to f32
+    re-association (not bitwise) — the bit-parity eval path keeps
+    resize_bilinear_ac.
+    """
+    b, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (oh, ow) == (h, w):
+        return x
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    r = jnp.asarray(resize_matrix(h, oh))        # (oh, h)
+    cm = jnp.asarray(resize_matrix(w, ow))       # (ow, w)
+    t = jnp.einsum("Hg,bgwc->bHwc", r, x, precision=precision)
+    out = jnp.einsum("Ww,bHwc->bHWc", cm, t, precision=precision)
+    return out.astype(orig_dtype)
+
+
 def resize_nearest_ac(x, out_hw, align_corners: bool = True):
     """tf.image.resize_nearest_neighbor, align_corners configurable.
 

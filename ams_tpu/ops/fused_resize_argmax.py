@@ -34,21 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _resize_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """(out_size, in_size) dense align-corners lerp matrix, 2 nnz/row.
-
-    Pure NumPy (callable inside a jit trace without staging).
-    """
-    scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
-    src = np.arange(out_size, dtype=np.float64) * scale
-    lo = np.minimum(np.floor(src).astype(np.int32), in_size - 1)
-    hi = np.minimum(lo + 1, in_size - 1)
-    w = (src - lo).astype(np.float32)
-    m = np.zeros((out_size, in_size), np.float32)
-    rows = np.arange(out_size)
-    np.add.at(m, (rows, lo), 1.0 - w)
-    np.add.at(m, (rows, hi), w)
-    return m
+from ams_tpu.models.resize import resize_matrix as _resize_matrix
 
 
 def _kernel(l_ref, r_ref, c_ref, o_ref):

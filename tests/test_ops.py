@@ -45,3 +45,48 @@ def test_fused_resize_argmax_identity_grid():
     got = fused_resize_argmax(logits, (16, 32), tile_h=8, interpret=True)
     want = np.argmax(np.asarray(logits), -1)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_matmul_resize_matches_gather_form():
+    """resize_bilinear_ac_matmul (MXU backward) == resize_bilinear_ac
+    (TF-rounding gather form) to f32 re-association."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ams_tpu.models.resize import (
+        resize_bilinear_ac,
+        resize_bilinear_ac_matmul,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 17, 33, 6).astype(np.float32))
+    a = np.asarray(resize_bilinear_ac(x, (256, 512)))
+    b = np.asarray(resize_bilinear_ac_matmul(x, (256, 512)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_resize_loss_and_grad_match():
+    """distill_loss with resize_via='matmul' equals the gather form in value
+    and gradient (to f32 re-association) — the bf16 round's loss swap."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ams_tpu.distill.loss import distill_loss
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (2, 32, 64, 3)), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 19, (2, 32, 64)))
+    ci = jnp.asarray((0, 1, 2, 10, 11, 13))
+
+    def loss(params, via):
+        l, _ = distill_loss(params, frames, labels, ci, 19, train=True,
+                            resize_via=via)
+        return l
+
+    lg, gg = jax.value_and_grad(lambda p: loss(p, "gather"))(params)
+    lm, gm = jax.value_and_grad(lambda p: loss(p, "matmul"))(params)
+    np.testing.assert_allclose(float(lg), float(lm), rtol=1e-5)
+    k = "logits/semantic/weights"
+    np.testing.assert_allclose(np.asarray(gg[k]), np.asarray(gm[k]),
+                               rtol=1e-3, atol=1e-5)
