@@ -191,5 +191,72 @@ class MultiVideoServer:
             if self.strategy.startswith("coord_desc_") else None
         return encode_delta(params, masks, strategy=self.strategy)
 
-    def deploy(self, video_idx: int, path: str) -> None:
-        np.savez(path + ".npz", **self.video_params(video_idx))
+    def deploy(self, video_idx: int, path: str, fold: bool = True) -> None:
+        """Write one video's deployable client artifact (BN-folded by
+        default, like SemanticNetwork.save_to_frozen_graph)."""
+        params = self.video_params(video_idx)
+        if fold:
+            from ams_tpu.models.frozen import fold_student
+
+            params = {k: np.asarray(v)
+                      for k, v in fold_student(params).items()}
+        np.savez(path + ".npz", **params)
+
+    # ------------------------------------------------------- resume
+
+    def save_state(self, prefix: str) -> None:
+        """Persist the whole V-video server state (params, Adam slots,
+        masks, frame memories) atomically — the multi-video analog of
+        runtime.resume (the reference restarts from scratch on failure)."""
+        arrays = {}
+        for k, v in self.params_V.items():
+            arrays["param:" + k] = np.asarray(v)
+        arrays["opt:step"] = np.asarray(self.opt_V.step)
+        for k, v in self.opt_V.m.items():
+            arrays["optm:" + k] = np.asarray(v)
+        for k, v in self.opt_V.v.items():
+            arrays["optv:" + k] = np.asarray(v)
+        for k, v in self.mask_V.items():
+            arrays["mask:" + k] = np.asarray(v)
+        for i, m in enumerate(self.memories):
+            fbuf, lbuf, n = m.device_buffers()
+            arrays["mem%d:frames" % i] = np.asarray(fbuf[:n])
+            arrays["mem%d:labels" % i] = np.asarray(lbuf[:n])
+        arrays["rng"] = np.asarray(self._rng)
+        path = prefix + "_mv_resume.npz"
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        import os
+
+        os.replace(tmp, path)
+
+    def load_state(self, prefix: str) -> bool:
+        """Restore a save_state bundle; returns False if none exists."""
+        import os
+
+        path = prefix + "_mv_resume.npz"
+        if not os.path.exists(path):
+            return False
+        import jax.numpy as jnp_
+        from ams_tpu.distill.optimizer import AdamState
+
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
+        self.params_V = {k[len("param:"):]: jnp_.asarray(v)
+                         for k, v in arrays.items() if k.startswith("param:")}
+        m = {k[len("optm:"):]: jnp_.asarray(v)
+             for k, v in arrays.items() if k.startswith("optm:")}
+        v_ = {k[len("optv:"):]: jnp_.asarray(v)
+              for k, v in arrays.items() if k.startswith("optv:")}
+        self.opt_V = AdamState(step=jnp_.asarray(arrays["opt:step"]),
+                               m=m, v=v_)
+        self.mask_V = {k[len("mask:"):]: jnp_.asarray(v)
+                       for k, v in arrays.items() if k.startswith("mask:")}
+        for i, mem in enumerate(self.memories):
+            mem.clear()
+            frames = arrays["mem%d:frames" % i]
+            labels = arrays["mem%d:labels" % i]
+            if len(frames):
+                mem.extend(list(frames), list(labels))
+        self._rng = jnp_.asarray(arrays["rng"])
+        return True

@@ -147,3 +147,35 @@ def test_different_class_subsets_per_video():
         total = sum(m.size for m in masks.values())
         sel = sum(int(m.sum()) for m in masks.values())
         assert 0.05 < sel / total < 0.15
+
+
+def test_multi_video_resume_roundtrip(tmp_path):
+    """save_state/load_state restores params, slots, masks and memories so
+    a fresh server continues identically."""
+    from ams_tpu.parallel.mesh import make_mesh
+
+    def mk():
+        return MultiVideoServer(video_ids=[25, 17], height=32, batch_size=2,
+                                lr=1e-2, strategy="coord_desc_auto",
+                                coord_frac=0.1, memory_capacity=4,
+                                mesh=make_mesh(2))
+
+    rng = np.random.RandomState(0)
+    srv = mk()
+    for v in range(2):
+        srv.ingest(v, [rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+                       for _ in range(2)],
+                   [rng.randint(0, 19, (32, 64)).astype(np.uint8)
+                    for _ in range(2)])
+    srv.train_round(iters=1)
+    prefix = str(tmp_path / "mv")
+    srv.save_state(prefix)
+    l1 = srv.train_round(iters=1, keep_mask=True)
+
+    srv2 = mk()
+    assert srv2.load_state(prefix)
+    for k in srv.mask_V:
+        np.testing.assert_array_equal(np.asarray(srv2.mask_V[k]),
+                                      np.asarray(srv.mask_V[k]))
+    l2 = srv2.train_round(iters=1, keep_mask=True)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
