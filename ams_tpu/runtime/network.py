@@ -296,6 +296,17 @@ class SemanticNetwork:
         device program; the frame memory is shipped to HBM once.
         """
         assert not self.frozen, "Can't train frozen graph!!!"
+        # The device-resident round samples uniform frame picks — the
+        # reference driver's only configuration (scale=[1], no flip,
+        # run.py:144 -> utils.py:129-185 degenerates to identity crops).
+        # Reject anything else loudly rather than silently ignoring it;
+        # data.buffers.mini_batch provides the general host-side sampler
+        # for custom pipelines.
+        if list(self.scale or [1]) != [1]:
+            raise NotImplementedError(
+                "train_with_deque implements the reference driver's "
+                "scale=[1] sampling; for scale=%r use data.buffers."
+                "mini_batch host-side" % (self.scale,))
         with self.process_lock:
             if not keep_mask:
                 self.mask = None
