@@ -81,12 +81,26 @@ class PrefetchingVideoReader:
         self._cv = threading.Condition()
         self._eof = False
         self._stop = False
+        self._error: Optional[BaseException] = None
         self._epoch = 0
         self._pending_seek: Optional[int] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
+        try:
+            self._worker_loop()
+        except BaseException as e:  # surface decode failures to the reader
+            with self._cv:
+                self._error = e
+                self._cv.notify_all()
+        finally:
+            # the worker owns the capture: releasing here (never from the
+            # caller's thread) avoids a concurrent read/release on the
+            # underlying cv2.VideoCapture
+            self._inner.release()
+
+    def _worker_loop(self):
         while True:
             with self._cv:
                 while (not self._stop and self._pending_seek is None
@@ -120,12 +134,18 @@ class PrefetchingVideoReader:
 
     def read(self) -> Optional[np.ndarray]:
         with self._cv:
-            while not self._buf and not self._eof:
+            while (not self._buf and not self._eof and self._error is None
+                   and not self._stop):
                 self._cv.wait()
             if self._buf:
                 frame = self._buf.pop(0)
                 self._cv.notify_all()
                 return frame
+            if self._error is not None:
+                raise IOError("video decode worker failed for %s"
+                              % self.path) from self._error
+            if self._stop:
+                raise RuntimeError("read() after release() on %s" % self.path)
             return None
 
     def read_or_die(self) -> np.ndarray:
@@ -138,8 +158,9 @@ class PrefetchingVideoReader:
         with self._cv:
             self._stop = True
             self._cv.notify_all()
-        self._thread.join(timeout=5)
-        self._inner.release()
+        # the worker releases the capture on exit; if it is wedged in a
+        # pathological decode, leak rather than race cv2 release/read
+        self._thread.join(timeout=30)
 
     def __enter__(self):
         return self

@@ -194,7 +194,7 @@ def make_distill_round(spec: DistillSpec):
 
         first_iter = 0
         losses0 = []
-        if auto and reselect:
+        if auto and reselect and spec.iters > 0:
             # Peeled selection iteration (reference SemanticNetwork.py:263-288
             # runs it at iteration 0 of every round): one full-model Adam
             # step at select_dtype (f32/HIGHEST by default — the selection

@@ -207,56 +207,56 @@ class MultiVideoServer:
     def save_state(self, prefix: str) -> None:
         """Persist the whole V-video server state (params, Adam slots,
         masks, frame memories) atomically — the multi-video analog of
-        runtime.resume (the reference restarts from scratch on failure)."""
-        arrays = {}
-        for k, v in self.params_V.items():
-            arrays["param:" + k] = np.asarray(v)
-        arrays["opt:step"] = np.asarray(self.opt_V.step)
-        for k, v in self.opt_V.m.items():
-            arrays["optm:" + k] = np.asarray(v)
-        for k, v in self.opt_V.v.items():
-            arrays["optv:" + k] = np.asarray(v)
-        for k, v in self.mask_V.items():
-            arrays["mask:" + k] = np.asarray(v)
+        runtime.resume (the reference restarts from scratch on failure).
+        Shares the bundle encoding (param:/opt*: keys, atomic write) with
+        the single-video resume module."""
+        from ams_tpu.runtime import resume as resume_mod
+
+        arrays: dict = {"video_ids": np.asarray(self.video_ids, np.int64),
+                        "height": np.int64(self.height),
+                        "rng": np.asarray(self._rng)}
+        resume_mod.pack_params(arrays, self.params_V)
+        resume_mod.pack_adam(arrays, self.opt_V)
+        resume_mod.pack_params(arrays, self.mask_V, prefix="mask:")
         for i, m in enumerate(self.memories):
             fbuf, lbuf, n = m.device_buffers()
             arrays["mem%d:frames" % i] = np.asarray(fbuf[:n])
             arrays["mem%d:labels" % i] = np.asarray(lbuf[:n])
-        arrays["rng"] = np.asarray(self._rng)
-        path = prefix + "_mv_resume.npz"
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, **arrays)
-        import os
-
-        os.replace(tmp, path)
+        resume_mod.write_bundle(prefix + "_mv_resume.npz", arrays)
 
     def load_state(self, prefix: str) -> bool:
-        """Restore a save_state bundle; returns False if none exists."""
+        """Restore a save_state bundle; returns False if none exists, raises
+        ValueError if the bundle doesn't match this server's configuration."""
         import os
+
+        from ams_tpu.runtime import resume as resume_mod
 
         path = prefix + "_mv_resume.npz"
         if not os.path.exists(path):
             return False
-        import jax.numpy as jnp_
-        from ams_tpu.distill.optimizer import AdamState
-
         with np.load(path) as z:
             arrays = {k: z[k] for k in z.files}
-        self.params_V = {k[len("param:"):]: jnp_.asarray(v)
-                         for k, v in arrays.items() if k.startswith("param:")}
-        m = {k[len("optm:"):]: jnp_.asarray(v)
-             for k, v in arrays.items() if k.startswith("optm:")}
-        v_ = {k[len("optv:"):]: jnp_.asarray(v)
-              for k, v in arrays.items() if k.startswith("optv:")}
-        self.opt_V = AdamState(step=jnp_.asarray(arrays["opt:step"]),
-                               m=m, v=v_)
-        self.mask_V = {k[len("mask:"):]: jnp_.asarray(v)
-                       for k, v in arrays.items() if k.startswith("mask:")}
+        saved_ids = list(arrays["video_ids"])
+        if saved_ids != list(self.video_ids) or \
+                int(arrays["height"]) != self.height:
+            raise ValueError(
+                "resume bundle %s was saved for video_ids=%s height=%d; "
+                "this server has video_ids=%s height=%d"
+                % (path, saved_ids, int(arrays["height"]),
+                   list(self.video_ids), self.height))
+        params = resume_mod.unpack_params(arrays)
+        if set(params) != set(self.params_V):
+            raise ValueError("resume bundle %s parameter inventory does not "
+                             "match this server's model" % path)
+        self.params_V = {k: jnp.asarray(v) for k, v in params.items()}
+        self.opt_V = resume_mod.unpack_adam(arrays)
+        self.mask_V = {k: jnp.asarray(v) for k, v in
+                       resume_mod.unpack_params(arrays, "mask:").items()}
         for i, mem in enumerate(self.memories):
             mem.clear()
             frames = arrays["mem%d:frames" % i]
             labels = arrays["mem%d:labels" % i]
             if len(frames):
                 mem.extend(list(frames), list(labels))
-        self._rng = jnp_.asarray(arrays["rng"])
+        self._rng = jnp.asarray(arrays["rng"])
         return True

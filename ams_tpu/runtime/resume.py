@@ -20,25 +20,58 @@ def _state_paths(prefix: str):
     return prefix + "_resume_state.npz", prefix + "_resume_meta.json"
 
 
+# -- shared bundle encoding (single- and multi-video servers) --------------
+
+def pack_adam(arrays: dict, opt) -> None:
+    """Encode an AdamState into a flat npz dict (opt:/optm:/optv: keys)."""
+    arrays["opt:step"] = np.asarray(opt.step)
+    for k, v in opt.m.items():
+        arrays["optm:" + k] = np.asarray(v)
+    for k, v in opt.v.items():
+        arrays["optv:" + k] = np.asarray(v)
+
+
+def unpack_adam(arrays: dict):
+    from ams_tpu.distill.optimizer import AdamState
+    import jax.numpy as jnp
+
+    m = {k[len("optm:"):]: jnp.asarray(v) for k, v in arrays.items()
+         if k.startswith("optm:")}
+    v = {k[len("optv:"):]: jnp.asarray(v) for k, v in arrays.items()
+         if k.startswith("optv:")}
+    return AdamState(step=jnp.asarray(arrays["opt:step"]), m=m, v=v)
+
+
+def pack_params(arrays: dict, params, prefix: str = "param:") -> None:
+    for k, v in params.items():
+        arrays[prefix + k] = np.asarray(v)
+
+
+def unpack_params(arrays: dict, prefix: str = "param:"):
+    return {k[len(prefix):]: v for k, v in arrays.items()
+            if k.startswith(prefix)}
+
+
+def write_bundle(path: str, arrays: dict) -> None:
+    """Atomic npz write (tmp + rename)."""
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
 def save_state(prefix: str, *, network, memory, second: int, send_rate,
                sample_per_period, up_bw, down_bw, model_save_times,
                save_range, trained_seconds, update_count,
                atr_state: Optional[dict] = None,
                up_codec_exact=()) -> None:
     npz_path, meta_path = _state_paths(prefix)
-    arrays = {"param:" + k: v for k, v in network.get_vars().items()}
-    opt = network.opt_state
-    arrays["opt:step"] = np.asarray(opt.step)
-    for k, v in opt.m.items():
-        arrays["optm:" + k] = np.asarray(v)
-    for k, v in opt.v.items():
-        arrays["optv:" + k] = np.asarray(v)
+    arrays: dict = {}
+    pack_params(arrays, network.get_vars())
+    pack_adam(arrays, network.opt_state)
     fbuf, lbuf, n = memory.device_buffers()
     arrays["mem:frames"] = fbuf[:n]
     arrays["mem:labels"] = lbuf[:n]
-    tmp = npz_path + ".tmp.npz"
-    np.savez(tmp, **arrays)
-    os.replace(tmp, npz_path)
+    write_bundle(npz_path, arrays)
     meta = {"second": int(second), "send_rate": float(send_rate),
             "sample_per_period": list(map(float, sample_per_period)),
             "up_bw": list(map(float, up_bw)),
@@ -68,18 +101,8 @@ def load_state(prefix: str):
 
 def restore_network(network, arrays) -> None:
     """Overlay params + Adam slots from a resume bundle onto a network."""
-    import jax.numpy as jnp
-    from ams_tpu.distill.optimizer import AdamState
-
-    params = {k[len("param:"):]: v for k, v in arrays.items()
-              if k.startswith("param:")}
-    network.restore(params)
-    m = {k[len("optm:"):]: jnp.asarray(v) for k, v in arrays.items()
-         if k.startswith("optm:")}
-    v = {k[len("optv:"):]: jnp.asarray(v) for k, v in arrays.items()
-         if k.startswith("optv:")}
-    network.opt_state = AdamState(step=jnp.asarray(arrays["opt:step"]),
-                                  m=m, v=v)
+    network.restore(unpack_params(arrays))
+    network.opt_state = unpack_adam(arrays)
 
 
 def restore_memory(memory, arrays) -> None:

@@ -77,12 +77,24 @@ def main():
                                    compute_dtype=jnp.bfloat16)
         return preds.sum()
 
+    import sys
+    import traceback
+
+    path = "fast_folded"
     try:
         fps = _measure(fast_folded, folded, frames, batch)
     except Exception:
+        # fallbacks keep the driver's bench line alive, but NEVER silently:
+        # the path is recorded in the JSON and the failure goes to stderr
+        traceback.print_exc(file=sys.stderr)
+        print("bench: fast_folded failed, falling back", file=sys.stderr)
         try:
+            path = "fast_raw"
             fps = _measure(fast, params, frames, batch)
         except Exception:
+            traceback.print_exc(file=sys.stderr)
+            print("bench: fast_raw failed, falling back", file=sys.stderr)
+            path = "precise"
             fps = _measure(precise, params, frames, batch)
 
     print(json.dumps({
@@ -90,6 +102,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 1000.0, 4),
+        "path": path,
     }))
 
 
