@@ -153,6 +153,38 @@ def part_latency():
                   flush=True)
 
 
+def part_steps():
+    """Per-step decomposition of the bf16 round (matmul loss resize)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.distill.loss import distill_loss
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (10, 256, 512, 3)), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 19, (10, 256, 512)))
+    ci = jnp.arange(19)
+
+    def loss(p, via):
+        l, _ = distill_loss(p, frames, labels, ci, 19, train=True,
+                            compute_dtype=jnp.bfloat16, resize_via=via)
+        return l
+
+    for via in ("matmul", "gather"):
+        fwd = jax.jit(lambda p, via=via: loss(p, via))
+        fwdbwd = jax.jit(jax.grad(lambda p, via=via: loss(p, via)))
+        dt_f = measure(fwd, params, iters=20)
+        g = fwdbwd(params)
+        jax.block_until_ready(g)
+        dt_fb = measure(lambda p: fwdbwd(p)["logits/semantic/weights"].sum(),
+                        params, iters=20)
+        print(json.dumps({"metric": "step_b10_bf16_%s" % via,
+                          "fwd_ms": round(dt_f * 1000, 2),
+                          "fwdbwd_ms": round(dt_fb * 1000, 2)}), flush=True)
+
+
 def part_rounds():
     import jax
     import jax.numpy as jnp
@@ -202,7 +234,7 @@ def part_rounds():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", choices=["infer", "rounds", "precise_fast",
-                                       "latency"],
+                                       "latency", "steps"],
                     default="infer")
     a = ap.parse_args()
     if a.part == "infer":
@@ -211,5 +243,7 @@ if __name__ == "__main__":
         part_precise_fast()
     elif a.part == "latency":
         part_latency()
+    elif a.part == "steps":
+        part_steps()
     else:
         part_rounds()
