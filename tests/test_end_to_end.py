@@ -82,3 +82,18 @@ def test_coord_desc_auto_loop(synthetic_video):
     # (10% of params at fp16 + bitmask, all gzip'd)
     full_bits = 2.8e6 * 16
     assert down[-1] < 0.35 * full_bits
+
+
+def test_pretrained_mode(synthetic_video):
+    """pretrained mode: one training pass at t=0, then client inference
+    over the whole clip (run.py:645-651 semantics)."""
+    vid, gt, out = synthetic_video
+    cfg = _cfg(vid, gt, out, mode="pretrained")
+    run_experiment(cfg)
+    results = get_save_dir(cfg, "pretrained_results")
+    mious = np.load(results + "_mious.npy")
+    assert mious.shape == (40,)
+    # exactly one deployed model (t=0) and one update accounting line
+    with open(results + "_update.txt") as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 5
