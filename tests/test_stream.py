@@ -128,3 +128,40 @@ def test_prefetching_reader_matches_plain(tmp_path):
         np.testing.assert_array_equal(a, b)
     pre.release()
     plain.release()
+
+
+def test_prefetching_reader_surfaces_worker_errors(tmp_path):
+    """A decode failure in the worker raises on read() instead of hanging;
+    read() after release() raises instead of blocking."""
+    import pytest
+    from ams_tpu.data.video import PrefetchingVideoReader, write_synthetic_clip
+
+    vid = str(tmp_path / "90-err.mp4")
+    write_synthetic_clip(vid, seconds=1, fps=4, size_hw=(32, 64))
+
+    r = PrefetchingVideoReader(vid, depth=2)
+    r.read_or_die()
+    # make subsequent decodes blow up inside the worker
+    def boom():
+        raise RuntimeError("decoder exploded")
+    r._inner.read = boom
+    r.seek_frame(0)  # flush the buffer so the next read needs the worker
+    with pytest.raises(IOError):
+        for _ in range(10):
+            r.read()
+    r.release()
+
+    # after release(): already-buffered frames may drain, then read() must
+    # terminate (None at EOF or RuntimeError), never block forever
+    r2 = PrefetchingVideoReader(vid, depth=2)
+    r2.release()
+    saw_end = False
+    for _ in range(10):
+        try:
+            if r2.read() is None:
+                saw_end = True
+                break
+        except RuntimeError:
+            saw_end = True
+            break
+    assert saw_end
