@@ -26,11 +26,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def _measure(forward, params, frames, batch, iters=15):
+def _measure(forward, params, frames, batch, iters=20, trials=5):
     out = forward(params, frames)
     np.asarray(out)  # sync through compile + first run
     best = None
-    for _ in range(3):
+    for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = forward(params, frames)
