@@ -22,6 +22,30 @@ import jax
 from jax.sharding import Mesh
 
 
+def init_multi_host(coordinator_address: Optional[str] = None,
+                    num_processes: Optional[int] = None,
+                    process_id: Optional[int] = None) -> int:
+    """Join a multi-host JAX runtime (one process per host, TPU pod slices).
+
+    Wraps ``jax.distributed.initialize``: afterwards ``jax.devices()``
+    returns the GLOBAL device list and ``make_mesh`` builds a pod-wide mesh
+    whose 'data' axis spans hosts (collectives ride ICI within a slice, DCN
+    across slices — keep the 'model' axis intra-host).  On a single process
+    with no coordinator configured this is a no-op.  Returns the process
+    count.  The reference's only multi-machine story is launching
+    independent run.py processes (SemanticNetwork.py:74, run.py:28-29).
+    """
+    import jax.distributed
+
+    if coordinator_address is None and num_processes is None \
+            and "JAX_COORDINATOR_ADDRESS" not in __import__("os").environ:
+        return 1  # single-host: nothing to join
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Tuple[str, str] = ("data", "model"),
               model_parallelism: Optional[int] = None) -> Mesh:

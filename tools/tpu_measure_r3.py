@@ -1,0 +1,184 @@
+"""Round-2 late-session TPU experiments (single background run each part).
+
+Step-level probes for the two remaining levers NOTES.md flags:
+  - the distillation round is step-bound (fwd+bwd 16.9 ms x 200 = 3.38 s);
+    the backward's depthwise-conv grads and the f32 BN-normalize arithmetic
+    are the candidates.  ``--part step_variants`` measures the bf16
+    training step (matmul loss resize) under monkeypatched variants:
+      * dw_shift: stride-1 depthwise convs as 9 shifted fused multiply-adds
+        (VPU elementwise; backward = shifted adds + per-tap reductions,
+        no conv-grad ops)
+      * bn_bf16:  BN normalize arithmetic in bf16 (statistics still f32)
+  - the fast client is backbone-bound; ``--part infer_sweep`` checks
+    whether batch 256 beats the b128 headline.
+
+Scalar-readback timing per PERFORMANCE.md rules (the tunnel makes
+block_until_ready unreliable).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/ams_tpu_tpu_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def measure(fn, *args, iters=15, trials=3):
+    np.asarray(fn(*args))
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _dw_shift(x, w, stride=1, rate=1, padding="SAME", *, compute_dtype=None,
+              precision=None):
+    """Stride-1 3x3 depthwise conv as 9 shifted FMAs (w: (3,3,C,1))."""
+    import jax.numpy as jnp
+
+    from ams_tpu.models import layers as L
+
+    if stride != 1 or w.shape[0] != 3 or padding != "SAME":
+        return _ORIG_DW(x, w, stride=stride, rate=rate, padding=padding,
+                        compute_dtype=compute_dtype, precision=precision)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    h, wd = x.shape[1], x.shape[2]
+    p = rate
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    out = None
+    for i in range(3):
+        for j in range(3):
+            xs = xp[:, i * rate:i * rate + h, j * rate:j * rate + wd, :]
+            term = xs * w[i, j, :, 0]
+            out = term if out is None else out + term
+    return out
+
+
+def _bn_train_bf16(x, gamma, beta, eps=None):
+    """BN normalize arithmetic in x.dtype; statistics still f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.models import layers as L
+
+    if eps is None:
+        eps = L.BN_EPS
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+    var = jnp.maximum(var, 0.0)
+    inv = jax.lax.rsqrt(var + eps) * gamma
+    dt = x.dtype
+    y = (x - mean.astype(dt)) * inv.astype(dt) + beta.astype(dt)
+    return y, mean, var
+
+
+_ORIG_DW = None
+_ORIG_BN = None
+
+
+def part_step_variants():
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.distill.loss import distill_loss
+    from ams_tpu.models import layers as L
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+
+    global _ORIG_DW, _ORIG_BN
+    _ORIG_DW = L.depthwise_conv2d
+    _ORIG_BN = L.batch_norm_train
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (10, 256, 512, 3)), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 19, (10, 256, 512)))
+    ci = jnp.arange(19)
+
+    def loss(p):
+        l, _ = distill_loss(p, frames, labels, ci, 19, train=True,
+                            compute_dtype=jnp.bfloat16, resize_via="matmul")
+        return l
+
+    def run(tag):
+        fwd = jax.jit(loss)
+        fwdbwd = jax.jit(jax.grad(loss))
+        dt_f = measure(fwd, params, iters=20)
+        dt_fb = measure(lambda p: fwdbwd(p)["logits/semantic/weights"].sum(),
+                        params, iters=20)
+        print(json.dumps({"metric": "step_b10_bf16_" + tag,
+                          "fwd_ms": round(dt_f * 1000, 2),
+                          "fwdbwd_ms": round(dt_fb * 1000, 2)}), flush=True)
+
+    run("baseline")
+
+    # variant: shift-FMA depthwise (patch seen by the model at trace time)
+    import ams_tpu.models.mobilenetv2_deeplab as M
+    L.depthwise_conv2d = _dw_shift
+    M.layers.depthwise_conv2d = _dw_shift
+    run("dw_shift")
+    L.depthwise_conv2d = _ORIG_DW
+    M.layers.depthwise_conv2d = _ORIG_DW
+
+    # variant: bf16 BN normalize arithmetic
+    L.batch_norm_train = _bn_train_bf16
+    run("bn_bf16")
+
+    # both
+    L.depthwise_conv2d = _dw_shift
+    M.layers.depthwise_conv2d = _dw_shift
+    run("both")
+    L.depthwise_conv2d = _ORIG_DW
+    M.layers.depthwise_conv2d = _ORIG_DW
+    L.batch_norm_train = _ORIG_BN
+
+
+def part_infer_sweep():
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.models.frozen import fold_student, student_predict_fast_folded
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    folded = fold_student(params)
+    ci = tuple(range(19))
+
+    @jax.jit
+    def fast_folded(p, f):
+        return student_predict_fast_folded(p, f.astype(jnp.float32),
+                                           ci).sum()
+
+    for batch in (128, 256):
+        frames = jnp.asarray(
+            np.random.RandomState(0).randint(0, 256, (batch, 512, 512, 3)),
+            jnp.uint8)
+        dt = measure(fast_folded, folded, frames, iters=10)
+        print(json.dumps({"metric": "fast_folded_fps_512_b%d" % batch,
+                          "value": round(batch / dt, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--part", choices=["step_variants", "infer_sweep"],
+                    default="step_variants")
+    a = ap.parse_args()
+    if a.part == "step_variants":
+        part_step_variants()
+    else:
+        part_infer_sweep()
