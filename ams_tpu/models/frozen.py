@@ -87,15 +87,19 @@ def is_folded(params) -> bool:
 
 def student_predict_fast_folded(folded: Params, frames, class_indices, *,
                                 interpret: bool = None,
-                                compute_dtype=jnp.bfloat16):
+                                compute_dtype=jnp.bfloat16,
+                                fused_blocks=False):
     """Folded client fast path: forward with no BN ops + the fused Pallas
     upsample+argmax kernel (the deployed-edge hot loop).  bf16 = 4 367 f/s,
-    f32/HIGHEST = 1 328 f/s @512x512 b128 on v5e-1."""
+    f32/HIGHEST = 1 328 f/s @512x512 b128 on v5e-1; ``fused_blocks`` adds
+    the fused MBConv backbone kernels (bf16 only)."""
     from ams_tpu.ops.fused_resize_argmax import fused_resize_argmax
 
     b, h, w, _ = frames.shape
     grid = student_forward_folded(folded, frames, class_indices=class_indices,
-                                  compute_dtype=compute_dtype, out_hw=None)
+                                  compute_dtype=compute_dtype, out_hw=None,
+                                  fused_blocks=fused_blocks,
+                                  interpret=interpret)
     return fused_resize_argmax(grid.astype(jnp.float32), (h, w),
                                interpret=interpret)
 
@@ -130,8 +134,16 @@ def make_predict_fn_folded(num_classes, class_indices,
 
 
 def student_forward_folded(folded: Params, frames, class_indices=None, *,
-                           compute_dtype=jnp.bfloat16, out_hw="input"):
-    """Forward through the folded client model (no batch-norm ops)."""
+                           compute_dtype=jnp.bfloat16, out_hw="input",
+                           fused_blocks=False, interpret=None):
+    """Forward through the folded client model (no batch-norm ops).
+
+    ``fused_blocks=True`` runs every stride-1 inverted-residual run through
+    the fused Pallas MBConv kernel (ops.fused_mbconv): the 6x-expanded mid
+    activations stay in VMEM instead of round-tripping HBM (they are ~60%
+    of the unfused path's HBM traffic, which is the fast path's roofline).
+    bfloat16 only; the stem and the three stride-2 blocks stay on XLA.
+    """
     cd = compute_dtype
     b, h, w, _ = frames.shape
     x = preprocess(frames)
@@ -149,19 +161,56 @@ def student_forward_folded(folded: Params, frames, class_indices=None, *,
         y = y + folded[prefix + "/folded_bias"].astype(y.dtype)
         return act(y) if act else y
 
-    x = conv("MobilenetV2/Conv", x, stride=2, act=layers.relu6)
-    cin = STEM_CHANNELS
-    for i, (exp, cout, stride, rate) in enumerate(_BLOCKS):
-        name = "MobilenetV2/expanded_conv" + ("" if i == 0 else "_%d" % i)
+    if fused_blocks:
+        assert jnp.dtype(cd) == jnp.bfloat16, \
+            "fused_blocks is the bf16 fast path"
+        from ams_tpu.ops.fused_mbconv import (
+            FusedBlock,
+            run_fused_stage,
+            stage_fits_vmem,
+        )
+
+    def xla_block(x, name, exp, stride, rate, residual):
         inp = x
         if exp:
             x = conv(name + "/expand", x, act=layers.relu6)
         x = dwconv(name + "/depthwise", x, stride=stride, rate=rate,
                    act=layers.relu6)
         x = conv(name + "/project", x)
-        if stride == 1 and cin == cout:
-            x = x + inp
+        return x + inp if residual else x
+
+    x = conv("MobilenetV2/Conv", x, stride=2, act=layers.relu6)
+    cin = STEM_CHANNELS
+    pending = []  # consecutive stride-1 blocks awaiting a fused stage
+
+    def flush(x, pending):
+        if not pending:
+            return x
+        blocks = [FusedBlock(folded, name, has_expand=exp, rate=rate,
+                             residual=res)
+                  for name, exp, rate, res in pending]
+        # lane padding (C -> 128) makes the large-spatial/small-C stages
+        # exceed VMEM; those fall back to the XLA ops
+        if stage_fits_vmem(x.shape[1], x.shape[2], blocks):
+            x = run_fused_stage(x.astype(jnp.bfloat16), blocks,
+                                interpret=interpret)
+        else:
+            for name, exp, rate, res in pending:
+                x = xla_block(x, name, exp, 1, rate, res)
+        pending.clear()
+        return x
+
+    for i, (exp, cout, stride, rate) in enumerate(_BLOCKS):
+        name = "MobilenetV2/expanded_conv" + ("" if i == 0 else "_%d" % i)
+        if fused_blocks and stride == 1:
+            pending.append((name, bool(exp), rate, cin == cout))
+            cin = cout
+            continue
+        x = flush(x, pending)
+        x = xla_block(x, name, exp, stride, rate,
+                      stride == 1 and cin == cout)
         cin = cout
+    x = flush(x, pending)
 
     fh, fw = x.shape[1], x.shape[2]
     pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)

@@ -173,12 +173,117 @@ def part_infer_sweep():
                           "value": round(batch / dt, 1)}), flush=True)
 
 
+def part_fused_mbconv():
+    """Fused MBConv backbone (ops.fused_mbconv) vs the XLA folded path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.models.frozen import fold_student, student_predict_fast_folded
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    folded = fold_student(params)
+    ci = tuple(range(19))
+    batch = 128
+    frames = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (batch, 512, 512, 3)),
+        jnp.uint8)
+
+    @jax.jit
+    def fused(p, f):
+        return student_predict_fast_folded(p, f.astype(jnp.float32), ci,
+                                           fused_blocks=True).sum()
+
+    @jax.jit
+    def baseline(p, f):
+        return student_predict_fast_folded(p, f.astype(jnp.float32),
+                                           ci).sum()
+
+    dt = measure(fused, folded, frames, iters=10)
+    print(json.dumps({"metric": "fused_mbconv_fps_512_b128",
+                      "value": round(batch / dt, 1)}), flush=True)
+    dt = measure(baseline, folded, frames, iters=10)
+    print(json.dumps({"metric": "fast_folded_fps_512_b128_ref",
+                      "value": round(batch / dt, 1)}), flush=True)
+
+
+def part_stage_d():
+    """Isolate the 33x33 tail (b7..b16): fused kernel vs XLA ops, band-size
+    variants — where does the fused path lose?"""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.models import layers as L
+    from ams_tpu.models.frozen import fold_student
+    from ams_tpu.models.mobilenetv2_deeplab import _BLOCKS, init_student_params
+    from ams_tpu.ops.fused_mbconv import FusedBlock, run_fused_stage
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    folded = fold_student(params)
+    tail = []
+    cin = 64
+    for i, (exp, cout, stride, rate) in enumerate(_BLOCKS):
+        if i < 7:
+            continue
+        name = "MobilenetV2/expanded_conv_%d" % i
+        tail.append((name, bool(exp), rate, cin == cout))
+        cin = cout
+    blocks = [FusedBlock(folded, n, has_expand=e, rate=r, residual=res)
+              for n, e, r, res in tail]
+
+    batch = 128
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, 33, 33, 64), jnp.bfloat16)
+
+    @jax.jit
+    def xla_tail(folded, x):
+        def conv(prefix, x, rate=1, act=None):
+            y = L.conv2d(x, folded[prefix + "/weights"], rate=rate,
+                         compute_dtype=jnp.bfloat16)
+            y = y + folded[prefix + "/folded_bias"].astype(y.dtype)
+            return act(y) if act else y
+
+        for name, exp, rate, res in tail:
+            inp = x
+            if exp:
+                x = conv(name + "/expand", x, act=L.relu6)
+            y = L.depthwise_conv2d(
+                x, folded[name + "/depthwise/depthwise_weights"], rate=rate,
+                compute_dtype=jnp.bfloat16)
+            y = y + folded[name + "/depthwise/folded_bias"].astype(y.dtype)
+            x = conv(name + "/project", L.relu6(y))
+            if res:
+                x = x + inp
+        return x.astype(jnp.float32).sum()
+
+    dt = measure(xla_tail, folded, x, iters=20)
+    print(json.dumps({"metric": "stage_d_xla_ms_b128",
+                      "value": round(dt * 1000, 2)}), flush=True)
+
+    for trb, acc in ((4, jnp.float32), (4, jnp.bfloat16)):
+        @jax.jit
+        def fused_tail(x, trb=trb, acc=acc):
+            return run_fused_stage(x, blocks, trb=trb,
+                                   dw_acc_dtype=acc).astype(
+                jnp.float32).sum()
+
+        dt = measure(fused_tail, x, iters=20)
+        print(json.dumps({"metric": "stage_d_fused_trb%d_%s_ms_b128"
+                          % (trb, jnp.dtype(acc).name),
+                          "value": round(dt * 1000, 2)}), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--part", choices=["step_variants", "infer_sweep"],
+    ap.add_argument("--part", choices=["step_variants", "infer_sweep",
+                                       "fused_mbconv", "stage_d"],
                     default="step_variants")
     a = ap.parse_args()
     if a.part == "step_variants":
         part_step_variants()
+    elif a.part == "fused_mbconv":
+        part_fused_mbconv()
+    elif a.part == "stage_d":
+        part_stage_d()
     else:
         part_infer_sweep()
