@@ -126,6 +126,41 @@ def stack_videos(pytrees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *pytrees)
 
 
+def make_vmapped_multi_video_round(spec: DistillSpec, reselect: bool = None,
+                                   with_class_mask: bool = False):
+    """V concurrent per-video rounds on ONE chip via ``jax.vmap``.
+
+    Same signature as ``make_multi_video_round``; state carries a leading V
+    axis (``stack_videos``).  Per-video numerics are independent (BN
+    statistics, losses, coord-desc quantiles all map over V; equality with
+    serial rounds is gated in tests/test_vmapped_round.py).
+
+    MEASURED SLOWER than serial rounds on a v5e-1 at the reference
+    configuration (V=2: 5.94 s/video vs 3.45 serial): vmapping over
+    per-video WEIGHTS makes every conv a batched-kernel conv, which XLA
+    lowers poorly on TPU.  Single-chip multi-video serving should run
+    rounds serially (one chip sustains ~3 videos at the 10 s cadence);
+    cross-chip scaling is ``make_multi_video_round`` (one video per
+    device).  Kept for correctness experiments and small-model regimes.
+    """
+    base = make_distill_round(spec)
+    if reselect is None:
+        reselect = spec.strategy == "coord_desc_auto"
+
+    if with_class_mask:
+        def call(params, opt, frames, labels, n_valid, rng, lr, mask,
+                 class_mask):
+            return base(params, opt, frames, labels, n_valid, rng, lr,
+                        mask, reselect=reselect, class_mask=class_mask)
+        in_axes = (0, 0, 0, 0, 0, 0, None, 0, 0)
+    else:
+        def call(params, opt, frames, labels, n_valid, rng, lr, mask):
+            return base(params, opt, frames, labels, n_valid, rng, lr,
+                        mask, reselect=reselect)
+        in_axes = (0, 0, 0, 0, 0, 0, None, 0)
+    return jax.jit(jax.vmap(call, in_axes=in_axes))
+
+
 def make_sharded_labeler(mesh: Mesh, teacher_params,
                          data_axis: str = "data",
                          model_axis: str = "model",

@@ -273,17 +273,75 @@ def part_stage_d():
                           "value": round(dt * 1000, 2)}), flush=True)
 
 
+def part_vmap_videos():
+    """Serving consolidation: V videos' rounds batched into one program
+    (make_vmapped_multi_video_round) at the reference configuration.
+    Baseline: single round 3.45 s (PERFORMANCE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.distill.optimizer import adam_init
+    from ams_tpu.distill.train_step import (
+        DistillSpec,
+        all_true_mask,
+        split_params,
+    )
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+    from ams_tpu.parallel.sharded import (
+        make_vmapped_multi_video_round,
+        stack_videos,
+    )
+
+    cap, H, W = 83, 256, 512
+    spec = DistillSpec(iters=200, batch_size=10, num_classes=19,
+                       class_indices=tuple(range(19)),
+                       strategy="coord_desc_auto", coord_frac=0.1,
+                       compute_dtype="bfloat16")
+    rng = np.random.RandomState(0)
+    for v in VS:
+        vids = [init_student_params(jax.random.PRNGKey(s)) for s in range(v)]
+        params_V = stack_videos(vids)
+        opt_V = stack_videos([adam_init(split_params(p)[0]) for p in vids])
+        mask_V = stack_videos([all_true_mask(p) for p in vids])
+        frames_V = jnp.asarray(rng.randint(0, 256, (v, cap, H, W, 3)),
+                               jnp.uint8)
+        labels_V = jnp.asarray(rng.randint(0, 19, (v, cap, H, W)), jnp.uint8)
+        rngs_V = jax.random.split(jax.random.PRNGKey(1), v)
+        fn = make_vmapped_multi_video_round(spec)
+        args = (params_V, opt_V, frames_V, labels_V,
+                jnp.full((v,), cap, jnp.int32), rngs_V, jnp.float32(1e-3),
+                mask_V)
+        out = fn(*args)
+        np.asarray(out[3])
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            np.asarray(out[3])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({"metric": "vmap_round_%dvideos_s" % v,
+                          "value": round(best, 3),
+                          "per_video_s": round(best / v, 3)}), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", choices=["step_variants", "infer_sweep",
-                                       "fused_mbconv", "stage_d"],
+                                       "fused_mbconv", "stage_d",
+                                       "vmap_videos"],
                     default="step_variants")
+    ap.add_argument("--vs", default="2,4",
+                    help="video counts for vmap_videos")
     a = ap.parse_args()
+    VS = [int(x) for x in a.vs.split(",")]
     if a.part == "step_variants":
         part_step_variants()
     elif a.part == "fused_mbconv":
         part_fused_mbconv()
     elif a.part == "stage_d":
         part_stage_d()
+    elif a.part == "vmap_videos":
+        part_vmap_videos()
     else:
         part_infer_sweep()
