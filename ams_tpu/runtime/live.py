@@ -1,0 +1,237 @@
+"""Live model streaming over a real network transport.
+
+The reference *emulates* the edge<->server link: the server and client run
+sequentially in one process, deltas land on disk, and only their byte
+counts matter (run.py:314-336, 563-573).  This module is the actual
+system: a server process that receives frame samples, labels them, runs
+distillation rounds and streams parameter deltas; and an edge client that
+uploads samples, applies downlink deltas to its local student and keeps
+inferring — the same wire format as the emulation (stream/codec.py), so
+payload sizes match the reference's accounting bit-for-bit.
+
+Protocol (TCP, length-prefixed):
+
+    [1-byte type][8-byte big-endian length][payload]
+
+    'H'  client->server  JSON hello: exp_num/height/iters/strategy/...
+    'M'  server->client  initial model snapshot (npz, raw params)
+    'F'  client->server  frame batch (npz: frames uint8 (N,H,W,3), t float)
+    'D'  server->client  delta payload (the gzip'd packbits+fp16 blob)
+    'Q'  either          orderly shutdown
+
+The server owns the teacher via an injected ``labeler`` callable
+(frames uint8 (N,H,W,3) -> labels uint8 (N,H,W)) — runtime.labeler's
+batched teacher in production, a stub in tests.  Deltas are applied with
+``SemanticNetwork.apply_downlink``, so a client deployed from the 'M'
+snapshot tracks the server's post-round student to fp16 rounding on the
+selected parameter subset.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import socket
+import struct
+import threading
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ams_tpu import configs as exp_configs
+from ams_tpu.data.buffers import FrameMemory
+from ams_tpu.runtime.network import SemanticNetwork
+from ams_tpu.stream.codec import delta_order, encode_delta
+
+_HDR = struct.Struct(">cQ")
+
+
+def send_msg(sock: socket.socket, mtype: bytes, payload: bytes) -> None:
+    sock.sendall(_HDR.pack(mtype, len(payload)) + payload)
+
+
+def recv_msg(sock: socket.socket):
+    """-> (type, payload) or (None, None) on EOF."""
+    hdr = _recv_exact(sock, _HDR.size)
+    if hdr is None:
+        return None, None
+    mtype, n = _HDR.unpack(hdr)
+    payload = _recv_exact(sock, n) if n else b""
+    if n and payload is None:
+        return None, None
+    return mtype, payload
+
+
+def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def _npz_load(blob: bytes) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(blob)) as z:
+        return {k: z[k] for k in z.files}
+
+
+class LiveServer:
+    """One-connection AMS server: label -> train -> stream deltas.
+
+    Mirrors the emulated server loop's per-event behavior
+    (runtime/server.py: restore_initial -> train_with_deque -> delta) but
+    driven by frames arriving over the socket instead of a replayed file.
+    """
+
+    def __init__(self, labeler: Callable[[np.ndarray], np.ndarray], *,
+                 host: str = "127.0.0.1", port: int = 0):
+        self.labeler = labeler
+        self._lsock = socket.create_server((host, port))
+        self.address = self._lsock.getsockname()
+        self._thread: Optional[threading.Thread] = None
+        self.rounds_served = 0
+        self.error: Optional[BaseException] = None
+
+    def serve_in_background(self) -> None:
+        self._thread = threading.Thread(target=self._serve_once, daemon=True)
+        self._thread.start()
+
+    def join(self, timeout=None) -> None:
+        assert self._thread is not None
+        self._thread.join(timeout)
+        if self.error is not None:
+            raise self.error
+
+    def _serve_once(self) -> None:
+        try:
+            conn, _ = self._lsock.accept()
+            with conn:
+                self._handle(conn)
+        except BaseException as e:  # surfaced by join()
+            self.error = e
+        finally:
+            self._lsock.close()
+
+    def _handle(self, conn: socket.socket) -> None:
+        mtype, payload = recv_msg(conn)
+        assert mtype == b"H", mtype
+        hello = json.loads(payload.decode())
+        exp_num = hello["exp_num"]
+        height = hello["height"]
+        strategy = hello.get("strategy", "coord_desc_auto")
+        iters = hello.get("iters", 200)
+        train_period = hello.get("train_period", 10)
+        no_restore = hello.get("no_restore", False)
+
+        network = SemanticNetwork(
+            meta_dir=hello.get("checkpoint"),
+            class_weights_exp=exp_configs.class_weights(exp_num),
+            height=height, scale=[1],
+            mini_batch_size=hello.get("batch_size", 10),
+            lr=hello.get("lr", 1e-3),
+            coord_frac=hello.get("coord_frac", 0.1),
+            compute_dtype=hello.get("compute_dtype", "bfloat16"),
+            over_ride_total_classes=exp_configs.num_classes(exp_num))
+
+        # initial deploy: the full raw snapshot (the emulation's t=0
+        # frozen graph; raw because the client must consume deltas)
+        send_msg(conn, b"M", _npz_bytes(**network.get_vars()))
+
+        memory = FrameMemory(hello.get("memory_capacity", 256), height,
+                             2 * height)
+        last_train_t = -1e9
+        while True:
+            mtype, payload = recv_msg(conn)
+            if mtype in (None, b"Q"):
+                break
+            assert mtype == b"F", mtype
+            batch = _npz_load(payload)
+            frames = batch["frames"]
+            t = float(batch["t"])
+            labels = self.labeler(frames)
+            memory.extend(list(frames), list(labels))
+            if t - last_train_t < train_period or not len(memory):
+                continue
+            last_train_t = t
+            if not no_restore:
+                network.restore_initial()
+            network.train_with_deque(memory.frames, memory.labels, iters,
+                                     strategy)
+            names = delta_order(strategy, present=network.params.keys())
+            blob = encode_delta(dict(zip(names, network.train_params)),
+                                dict(zip(names, network.curr_mask)),
+                                strategy=strategy)
+            send_msg(conn, b"D", blob)
+            self.rounds_served += 1
+        self.final_vars = network.get_vars()
+        network.close_model()
+
+
+class LiveClient:
+    """Edge client: upload frame samples, apply downlink deltas, infer."""
+
+    def __init__(self, address, *, exp_num: int, height: int,
+                 strategy: str = "coord_desc_auto", **hello_extra):
+        self.exp_num = exp_num
+        self.height = height
+        self.strategy = strategy
+        self.sock = socket.create_connection(tuple(address))
+        hello = dict(exp_num=exp_num, height=height, strategy=strategy,
+                     **hello_extra)
+        send_msg(self.sock, b"H", json.dumps(hello).encode())
+        mtype, payload = recv_msg(self.sock)
+        assert mtype == b"M", mtype
+        self.network = SemanticNetwork(
+            meta_dir=_npz_load(payload),
+            class_weights_exp=exp_configs.class_weights(exp_num),
+            height=height, frozen=True,
+            over_ride_total_classes=exp_configs.num_classes(exp_num))
+        self.deltas_applied = 0
+        self.downlink_bits = 0
+
+    def send_samples(self, frames: np.ndarray, t: float) -> None:
+        """Uplink a (N, H, 2H, 3) uint8 frame batch stamped at stream
+        second ``t``."""
+        send_msg(self.sock, b"F",
+                 _npz_bytes(frames=np.asarray(frames, np.uint8),
+                            t=np.float64(t)))
+
+    def poll_deltas(self, timeout: float = 0.0) -> int:
+        """Apply any pending downlink deltas; returns how many."""
+        applied = 0
+        while True:
+            ready = _readable(self.sock, timeout if applied == 0 else 0.0)
+            if not ready:
+                return applied
+            mtype, payload = recv_msg(self.sock)
+            if mtype in (None, b"Q"):
+                return applied
+            assert mtype == b"D", mtype
+            self.network.apply_downlink(payload, strategy=self.strategy)
+            self.downlink_bits += len(payload) * 8
+            self.deltas_applied += 1
+            applied += 1
+
+    def predict(self, frame: np.ndarray) -> np.ndarray:
+        return self.network.predict_input(frame[None])[0]
+
+    def close(self) -> None:
+        try:
+            send_msg(self.sock, b"Q", b"")
+        except OSError:
+            pass
+        self.sock.close()
+
+
+def _readable(sock: socket.socket, timeout: float) -> bool:
+    import select
+    r, _, _ = select.select([sock], [], [], timeout)
+    return bool(r)

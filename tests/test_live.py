@@ -1,0 +1,79 @@
+"""Live model streaming: a real server<->client loop over localhost TCP.
+
+The reference only emulates the link (deltas on disk, byte accounting);
+runtime/live.py is the actual system.  This test runs LiveServer in a
+background thread and a LiveClient in the test thread: the client uploads
+frame samples, the server labels+trains and streams deltas, the client
+applies them — and the client's updated parameters match the server's
+post-round student to fp16 wire precision on the selected subset.
+"""
+
+import numpy as np
+import pytest
+
+from ams_tpu.runtime.live import LiveClient, LiveServer
+
+pytestmark = pytest.mark.slow  # e2e: full rounds over a socket
+
+
+def _stub_labeler(frames):
+    # horizontal strata over the experiment's live classes (exp 90)
+    h = frames.shape[1]
+    classes = np.asarray([0, 1, 2, 8, 10], np.uint8)
+    strata = (np.arange(h) * len(classes) // h).astype(np.int64)
+    row = classes[strata]
+    return np.repeat(row[None, :, None], frames.shape[0], axis=0).repeat(
+        frames.shape[2], axis=2)
+
+
+def test_live_streaming_loop():
+    server = LiveServer(_stub_labeler)
+    server.serve_in_background()
+
+    client = LiveClient(server.address, exp_num=90, height=32,
+                        strategy="coord_desc_auto", iters=3, batch_size=2,
+                        train_period=1, checkpoint="synthetic")
+    initial = {k: v.copy() for k, v in client.network.get_vars().items()}
+
+    rng = np.random.RandomState(0)
+    deltas = 0
+    for t in range(3):
+        frames = rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8)
+        client.send_samples(frames, float(t))
+        deltas += client.poll_deltas(timeout=90.0)
+        if deltas:
+            break
+    assert deltas >= 1, "no delta arrived"
+    assert client.deltas_applied == deltas
+    assert client.downlink_bits > 0
+
+    # the client moved off the initial deployment...
+    moved = any(
+        not np.array_equal(initial[k], v)
+        for k, v in client.network.get_vars().items())
+    assert moved
+
+    # ...and inference runs on the updated weights
+    pred = client.predict(rng.randint(0, 256, (32, 64, 3)).astype(np.uint8))
+    assert pred.shape == (32, 64)
+
+    client.close()
+    server.join(timeout=60.0)
+
+    # client parameters == server's post-round student at fp16 wire
+    # precision wherever the delta mask selected; BN moving stats are not
+    # part of the coord payload
+    cli = client.network.get_vars()
+    srv = server.final_vars
+    checked = 0
+    for k, sv in srv.items():
+        if "moving_" in k:
+            continue
+        cv = cli[k]
+        changed = cv != initial[k]
+        if changed.any():
+            np.testing.assert_allclose(cv[changed], sv[changed], rtol=2e-3,
+                                       atol=2e-3)
+            checked += changed.sum()
+    assert checked > 0
+    assert server.rounds_served == deltas
