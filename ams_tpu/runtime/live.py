@@ -83,55 +83,19 @@ def _npz_load(blob: bytes) -> Dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
-class LiveServer:
-    """One-connection AMS server: label -> train -> stream deltas.
+class _ClientState:
+    """Per-connection server-side state: one student + frame memory."""
 
-    Mirrors the emulated server loop's per-event behavior
-    (runtime/server.py: restore_initial -> train_with_deque -> delta) but
-    driven by frames arriving over the socket instead of a replayed file.
-    """
-
-    def __init__(self, labeler: Callable[[np.ndarray], np.ndarray], *,
-                 host: str = "127.0.0.1", port: int = 0):
-        self.labeler = labeler
-        self._lsock = socket.create_server((host, port))
-        self.address = self._lsock.getsockname()
-        self._thread: Optional[threading.Thread] = None
-        self.rounds_served = 0
-        self.error: Optional[BaseException] = None
-
-    def serve_in_background(self) -> None:
-        self._thread = threading.Thread(target=self._serve_once, daemon=True)
-        self._thread.start()
-
-    def join(self, timeout=None) -> None:
-        assert self._thread is not None
-        self._thread.join(timeout)
-        if self.error is not None:
-            raise self.error
-
-    def _serve_once(self) -> None:
-        try:
-            conn, _ = self._lsock.accept()
-            with conn:
-                self._handle(conn)
-        except BaseException as e:  # surfaced by join()
-            self.error = e
-        finally:
-            self._lsock.close()
-
-    def _handle(self, conn: socket.socket) -> None:
-        mtype, payload = recv_msg(conn)
-        assert mtype == b"H", mtype
-        hello = json.loads(payload.decode())
+    def __init__(self, conn: socket.socket, hello: Dict):
+        self.conn = conn
+        self.hello = hello
         exp_num = hello["exp_num"]
         height = hello["height"]
-        strategy = hello.get("strategy", "coord_desc_auto")
-        iters = hello.get("iters", 200)
-        train_period = hello.get("train_period", 10)
-        no_restore = hello.get("no_restore", False)
-
-        network = SemanticNetwork(
+        self.strategy = hello.get("strategy", "coord_desc_auto")
+        self.iters = hello.get("iters", 200)
+        self.train_period = hello.get("train_period", 10)
+        self.no_restore = hello.get("no_restore", False)
+        self.network = SemanticNetwork(
             meta_dir=hello.get("checkpoint"),
             class_weights_exp=exp_configs.class_weights(exp_num),
             height=height, scale=[1],
@@ -140,14 +104,80 @@ class LiveServer:
             coord_frac=hello.get("coord_frac", 0.1),
             compute_dtype=hello.get("compute_dtype", "bfloat16"),
             over_ride_total_classes=exp_configs.num_classes(exp_num))
+        self.memory = FrameMemory(hello.get("memory_capacity", 256),
+                                  height, 2 * height)
+        self.last_train_t = -1e9
+
+
+class LiveServer:
+    """AMS server: label -> train -> stream deltas, over real sockets.
+
+    Mirrors the emulated server loop's per-event behavior
+    (runtime/server.py: restore_initial -> train_with_deque -> delta) but
+    driven by frames arriving over the network.  ``max_clients`` > 1
+    serves several edge streams from one chip: each connection owns an
+    independent student + frame memory, and rounds run SERIALLY under the
+    device lock (measured faster than vmapping students together on TPU —
+    PERFORMANCE.md; a v5e-1 sustains ~3 reference-cadence streams).
+    """
+
+    def __init__(self, labeler: Callable[[np.ndarray], np.ndarray], *,
+                 host: str = "127.0.0.1", port: int = 0,
+                 max_clients: int = 1):
+        self.labeler = labeler
+        self.max_clients = max_clients
+        self._lsock = socket.create_server((host, port))
+        self.address = self._lsock.getsockname()
+        self._threads = []
+        self._accept_thread: Optional[threading.Thread] = None
+        self._device_lock = threading.Lock()  # rounds serialize on the chip
+        self.rounds_served = 0
+        self.final_vars: Dict = {}  # last-round params per client id
+        self.error: Optional[BaseException] = None
+
+    def serve_in_background(self) -> None:
+        self._accept_thread = threading.Thread(target=self._accept_loop,
+                                               daemon=True)
+        self._accept_thread.start()
+
+    def join(self, timeout=None) -> None:
+        assert self._accept_thread is not None
+        self._accept_thread.join(timeout)
+        for t in self._threads:
+            t.join(timeout)
+        if self.error is not None:
+            raise self.error
+
+    def _accept_loop(self) -> None:
+        try:
+            for _ in range(self.max_clients):
+                conn, _ = self._lsock.accept()
+                t = threading.Thread(target=self._client_loop, args=(conn,),
+                                     daemon=True)
+                self._threads.append(t)
+                t.start()
+        except BaseException as e:
+            self.error = e
+        finally:
+            self._lsock.close()
+
+    def _client_loop(self, conn: socket.socket) -> None:
+        try:
+            with conn:
+                self._handle(conn)
+        except BaseException as e:  # surfaced by join()
+            self.error = e
+
+    def _handle(self, conn: socket.socket) -> None:
+        mtype, payload = recv_msg(conn)
+        assert mtype == b"H", mtype
+        st = _ClientState(conn, json.loads(payload.decode()))
+        client_id = st.hello.get("client_id", id(st))
 
         # initial deploy: the full raw snapshot (the emulation's t=0
         # frozen graph; raw because the client must consume deltas)
-        send_msg(conn, b"M", _npz_bytes(**network.get_vars()))
+        send_msg(conn, b"M", _npz_bytes(**st.network.get_vars()))
 
-        memory = FrameMemory(hello.get("memory_capacity", 256), height,
-                             2 * height)
-        last_train_t = -1e9
         while True:
             mtype, payload = recv_msg(conn)
             if mtype in (None, b"Q"):
@@ -157,22 +187,25 @@ class LiveServer:
             frames = batch["frames"]
             t = float(batch["t"])
             labels = self.labeler(frames)
-            memory.extend(list(frames), list(labels))
-            if t - last_train_t < train_period or not len(memory):
+            st.memory.extend(list(frames), list(labels))
+            if t - st.last_train_t < st.train_period or not len(st.memory):
                 continue
-            last_train_t = t
-            if not no_restore:
-                network.restore_initial()
-            network.train_with_deque(memory.frames, memory.labels, iters,
-                                     strategy)
-            names = delta_order(strategy, present=network.params.keys())
-            blob = encode_delta(dict(zip(names, network.train_params)),
-                                dict(zip(names, network.curr_mask)),
-                                strategy=strategy)
+            st.last_train_t = t
+            with self._device_lock:
+                if not st.no_restore:
+                    st.network.restore_initial()
+                st.network.train_with_deque(st.memory.frames,
+                                            st.memory.labels, st.iters,
+                                            st.strategy)
+            names = delta_order(st.strategy,
+                                present=st.network.params.keys())
+            blob = encode_delta(dict(zip(names, st.network.train_params)),
+                                dict(zip(names, st.network.curr_mask)),
+                                strategy=st.strategy)
             send_msg(conn, b"D", blob)
             self.rounds_served += 1
-        self.final_vars = network.get_vars()
-        network.close_model()
+        self.final_vars[client_id] = st.network.get_vars()
+        st.network.close_model()
 
 
 class LiveClient:

@@ -32,7 +32,8 @@ def test_live_streaming_loop():
 
     client = LiveClient(server.address, exp_num=90, height=32,
                         strategy="coord_desc_auto", iters=3, batch_size=2,
-                        train_period=1, checkpoint="synthetic")
+                        train_period=1, checkpoint="synthetic",
+                        client_id="edge0")
     initial = {k: v.copy() for k, v in client.network.get_vars().items()}
 
     rng = np.random.RandomState(0)
@@ -64,7 +65,7 @@ def test_live_streaming_loop():
     # precision wherever the delta mask selected; BN moving stats are not
     # part of the coord payload
     cli = client.network.get_vars()
-    srv = server.final_vars
+    srv = server.final_vars["edge0"]
     checked = 0
     for k, sv in srv.items():
         if "moving_" in k:
@@ -77,3 +78,39 @@ def test_live_streaming_loop():
             checked += changed.sum()
     assert checked > 0
     assert server.rounds_served == deltas
+
+
+def test_live_multi_client():
+    """Two edge streams served by one process: independent students,
+    rounds serialized on the device lock, per-client deltas."""
+    server = LiveServer(_stub_labeler, max_clients=2)
+    server.serve_in_background()
+
+    clients = [
+        LiveClient(server.address, exp_num=90, height=32,
+                   strategy="full_model", iters=2, batch_size=2,
+                   train_period=1, checkpoint="synthetic",
+                   client_id="edge%d" % j)
+        for j in range(2)
+    ]
+    rng = np.random.RandomState(1)
+    for c in clients:
+        c.send_samples(rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8),
+                       0.0)
+    for c in clients:
+        assert c.poll_deltas(timeout=120.0) >= 1
+    # full_model deltas: each client's weights equal ITS server student,
+    # and the two students differ (independent memories/seeds of data)
+    for c in clients:
+        c.close()
+    server.join(timeout=60.0)
+    assert server.rounds_served >= 2
+    a = server.final_vars["edge0"]["logits/semantic/weights"]
+    b = server.final_vars["edge1"]["logits/semantic/weights"]
+    assert not np.array_equal(a, b)
+    for j, c in enumerate(clients):
+        srv = server.final_vars["edge%d" % j]
+        cli = c.network.get_vars()
+        np.testing.assert_allclose(
+            cli["logits/semantic/weights"], srv["logits/semantic/weights"],
+            rtol=2e-3, atol=2e-3)
