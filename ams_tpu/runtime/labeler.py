@@ -32,6 +32,52 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
+def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
+                         compute_dtype: str = "bfloat16", seed: int = 0):
+    """-> labeler(frames uint8 (N,H,W,3) RGB) -> labels uint8 (N,H,W).
+
+    The batched-teacher callable the live server consumes
+    (runtime/live.py): applies the reference's +1 symmetric pad / [1:,1:]
+    un-pad convention around a jitted Xception-65 DeepLab forward.  With
+    no checkpoint (or missing blobs) the teacher is seeded synthetic —
+    fine for tests/demos, garbage labels for real use.
+    """
+    params = None
+    if teacher_checkpoint:
+        try:
+            loaded = ckpt.load_any(teacher_checkpoint)
+            loaded = {k.removeprefix("teacher/"): v
+                      for k, v in loaded.items()}
+            base = init_teacher_params(jax.random.PRNGKey(seed))
+            params = {k: jnp.asarray(v)
+                      for k, v in ckpt.merge_restore(base, loaded).items()}
+        except FileNotFoundError:
+            pass
+    if params is None:
+        params = init_teacher_params(jax.random.PRNGKey(seed))
+
+    cd = jnp.dtype(compute_dtype)
+    if cd == jnp.bfloat16:
+        from ams_tpu.models.xception_deeplab import teacher_predict_fast
+
+        @jax.jit
+        def predict(p, frames):
+            return teacher_predict_fast(p, frames)
+    else:
+        @jax.jit
+        def predict(p, frames):
+            return teacher_outputs(p, frames,
+                                   compute_dtype=cd)["predictions"]
+
+    def label(frames: np.ndarray) -> np.ndarray:
+        arr = np.pad(np.asarray(frames, np.uint8),
+                     ((0, 0), (1, 0), (1, 0), (0, 0)), mode="symmetric")
+        preds = np.asarray(predict(params, jnp.asarray(arr, jnp.float32)))
+        return preds[:, 1:, 1:].astype(np.uint8)
+
+    return label
+
+
 def extract_labels(input_video: str, dump_path: str,
                    teacher_checkpoint: Optional[str] = None,
                    height: Optional[int] = None, batch: int = 8,

@@ -16,6 +16,10 @@ Protocol (TCP, length-prefixed):
     'H'  client->server  JSON hello: exp_num/height/iters/strategy/...
     'M'  server->client  initial model snapshot (npz, raw params)
     'F'  client->server  frame batch (npz: frames uint8 (N,H,W,3), t float)
+    'V'  client->server  H.264-compressed frame batch (npz: blob, t) — the
+                         REAL uplink: the server trains on decoded-after-
+                         encode frames exactly like the emulation
+                         (run.py:258-265 semantics over an actual network)
     'D'  server->client  delta payload (the gzip'd packbits+fp16 blob)
     'Q'  either          orderly shutdown
 
@@ -182,10 +186,16 @@ class LiveServer:
             mtype, payload = recv_msg(conn)
             if mtype in (None, b"Q"):
                 break
-            assert mtype == b"F", mtype
+            assert mtype in (b"F", b"V"), mtype
             batch = _npz_load(payload)
-            frames = batch["frames"]
             t = float(batch["t"])
+            if mtype == b"V":
+                from ams_tpu.stream.uplink import decode_video_bytes
+                frames = np.stack(decode_video_bytes(
+                    batch["blob"].tobytes(),
+                    (st.memory.height, st.memory.width)))
+            else:
+                frames = batch["frames"]
             labels = self.labeler(frames)
             st.memory.extend(list(frames), list(labels))
             if t - st.last_train_t < st.train_period or not len(st.memory):
@@ -202,7 +212,10 @@ class LiveServer:
             blob = encode_delta(dict(zip(names, st.network.train_params)),
                                 dict(zip(names, st.network.curr_mask)),
                                 strategy=st.strategy)
-            send_msg(conn, b"D", blob)
+            try:
+                send_msg(conn, b"D", blob)
+            except (BrokenPipeError, ConnectionResetError):
+                break  # client hung up mid-round: normal end of stream
             self.rounds_served += 1
         self.final_vars[client_id] = st.network.get_vars()
         st.network.close_model()
@@ -229,13 +242,33 @@ class LiveClient:
             over_ride_total_classes=exp_configs.num_classes(exp_num))
         self.deltas_applied = 0
         self.downlink_bits = 0
+        self.uplink_bits = 0
 
     def send_samples(self, frames: np.ndarray, t: float) -> None:
-        """Uplink a (N, H, 2H, 3) uint8 frame batch stamped at stream
-        second ``t``."""
+        """Uplink a (N, H, 2H, 3) uint8 RGB frame batch stamped at stream
+        second ``t`` (uncompressed)."""
         send_msg(self.sock, b"F",
                  _npz_bytes(frames=np.asarray(frames, np.uint8),
                             t=np.float64(t)))
+        self.uplink_bits += 0  # raw path: accounted by the caller if at all
+
+    def send_samples_compressed(self, frames: np.ndarray, t: float, *,
+                                bitrate_kbps: float, fps: int = 10) -> bool:
+        """Real compressed uplink: H.264-encode the RGB batch at the target
+        bitrate and ship the video bytes; the server trains on the decoded
+        (artifact-bearing) frames.  Returns exact_reference_codec."""
+        import cv2
+
+        from ams_tpu.stream.uplink import encode_h264_bytes
+
+        bgr = [cv2.cvtColor(np.asarray(f, np.uint8), cv2.COLOR_RGB2BGR)
+               for f in frames]
+        blob, exact = encode_h264_bytes(bgr, bitrate_kbps, fps=fps)
+        send_msg(self.sock, b"V",
+                 _npz_bytes(blob=np.frombuffer(blob, np.uint8),
+                            t=np.float64(t)))
+        self.uplink_bits += len(blob) * 8
+        return exact
 
     def poll_deltas(self, timeout: float = 0.0) -> int:
         """Apply any pending downlink deltas; returns how many."""
@@ -255,6 +288,30 @@ class LiveClient:
 
     def predict(self, frame: np.ndarray) -> np.ndarray:
         return self.network.predict_input(frame[None])[0]
+
+    def drain(self, grace: float = 30.0, quiet: float = 1.0,
+              expect: Optional[int] = None) -> int:
+        """End-of-stream: apply in-flight deltas.
+
+        With ``expect`` (total deltas this client should see — the caller
+        can mirror the server's train-period arithmetic), waits up to
+        ``grace`` for the count to be reached; otherwise stops after the
+        link is quiet for ``quiet`` seconds.  Returns how many it applied.
+        """
+        import time
+
+        applied = 0
+        deadline = time.time() + grace
+        while time.time() < deadline:
+            if expect is not None and self.deltas_applied >= expect:
+                break
+            remaining = deadline - time.time()
+            n = self.poll_deltas(
+                timeout=min(remaining, 5.0) if expect is not None else quiet)
+            applied += n
+            if n == 0 and expect is None:
+                break
+        return applied
 
     def close(self) -> None:
         try:

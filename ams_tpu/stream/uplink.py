@@ -97,6 +97,59 @@ def encode_decode_h264(frames_bgr: List[np.ndarray], bitrate_kbps: float,
                         exact_reference_codec=exact)
 
 
+def encode_h264_bytes(frames_bgr: List[np.ndarray], bitrate_kbps: float,
+                      fps: int = 10, work_dir: Optional[str] = None
+                      ) -> Tuple[bytes, bool]:
+    """Encode the sample buffer and return the VIDEO BYTES (for shipping
+    over a real uplink — runtime/live.py) -> (blob, exact_reference_codec).
+    Same codecs/fallback as encode_decode_h264."""
+    work_dir = work_dir or tempfile.mkdtemp(prefix="ams_uplink_")
+    fd, out_file = tempfile.mkstemp(prefix="uplink_tx_", suffix=".mp4",
+                                    dir=work_dir)
+    os.close(fd)
+    h_in, w_in = frames_bgr[0].shape[:2]
+    if os.path.exists(FFMPEG):
+        _ffmpeg_two_pass(frames_bgr, bitrate_kbps, (w_in, h_in), fps,
+                         out_file)
+        exact = True
+    else:
+        writer = cv2.VideoWriter(out_file, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w_in, h_in))
+        if not writer.isOpened():
+            raise IOError("no ffmpeg and cv2.VideoWriter failed")
+        for f in frames_bgr:
+            writer.write(f)
+        writer.release()
+        exact = False
+    with open(out_file, "rb") as f:
+        blob = f.read()
+    os.remove(out_file)
+    return blob, exact
+
+
+def decode_video_bytes(blob: bytes, out_hw: Tuple[int, int],
+                       work_dir: Optional[str] = None) -> List[np.ndarray]:
+    """Decode a shipped uplink video back to RGB frames at the training
+    size (the server half of the real uplink)."""
+    work_dir = work_dir or tempfile.mkdtemp(prefix="ams_uplink_")
+    fd, in_file = tempfile.mkstemp(prefix="uplink_rx_", suffix=".mp4",
+                                   dir=work_dir)
+    os.close(fd)
+    with open(in_file, "wb") as f:
+        f.write(blob)
+    decoded: List[np.ndarray] = []
+    cap = cv2.VideoCapture(in_file)
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frame = cv2.resize(frame, (out_hw[1], out_hw[0]))
+        decoded.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    os.remove(in_file)
+    return decoded
+
+
 def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
     """Reference ffmpeg invocation: raw bgr24 on stdin, libx264 2-pass at the
     target bitrate, retry forever on BrokenPipeError (run.py:200-252)."""

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""AMS edge client CLI: stream a video to a live server, apply deltas,
+infer every frame locally.
+
+The deployment counterpart of the emulated client (run.py:364-461): the
+same send_period sampling and uplink codec, but the samples go over a real
+socket and the model updates arrive as delta payloads instead of frozen
+graphs on disk.
+
+Example:
+    python cli/edge.py --server 127.0.0.1:9097 \
+        --input_video data/25-frankfurt.mp4 --compress_uplink --uplink_bw 1000
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--server", required=True, help="host:port")
+    p.add_argument("--input_video", required=True)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--send_period", type=int, default=30)
+    p.add_argument("--train_period", type=int, default=10)
+    p.add_argument("--iter", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--train_strategy", default="coord_desc_auto")
+    p.add_argument("--coord_fraction", type=float, default=0.1)
+    p.add_argument("--compress_uplink", action="store_true")
+    p.add_argument("--uplink_bw", type=float, default=1000.0,
+                   help="kbps; H.264 target = uplink_bw * send_period")
+    p.add_argument("--sample_fraction", type=float, default=None,
+                   help="fraction of a period's frames to sample "
+                        "(default: send_period/fps seconds' worth = 1/fps)")
+    p.add_argument("--student_checkpoint", default="synthetic")
+    p.add_argument("--max_seconds", type=int, default=0,
+                   help="stop after N stream seconds (0 = whole clip)")
+    a = p.parse_args(argv)
+
+    from ams_tpu import configs as exp_configs
+    from ams_tpu.data.buffers import choose_frames
+    from ams_tpu.data.video import PrefetchingVideoReader, frame_to_rgb
+    from ams_tpu.runtime.live import LiveClient
+
+    host, port = a.server.rsplit(":", 1)
+    exp_num = exp_configs.video_exp_num(a.input_video)
+    client = LiveClient(
+        (host, int(port)), exp_num=exp_num, height=a.height,
+        strategy=a.train_strategy, iters=a.iter, batch_size=a.batch_size,
+        train_period=a.train_period, lr=a.lr, coord_frac=a.coord_fraction,
+        checkpoint=a.student_checkpoint)
+    print("connected; initial model deployed", flush=True)
+
+    reader = PrefetchingVideoReader(a.input_video)
+    fps = int(reader.fps)
+    size = (a.height, 2 * a.height)
+    sample_fraction = a.sample_fraction
+    if sample_fraction is None:
+        sample_fraction = 1.0 / fps  # one frame/s of content, run.py:144
+    bucket = []
+    t0 = time.time()
+    frames_done = 0
+    second = 0
+    # mirror of the server's training schedule (live.py _handle): a round
+    # fires when a sample batch arrives at t with t - last_train >= period
+    expected_rounds = 0
+    last_train_t = -1e9
+    try:
+        while True:
+            frame = reader.read()
+            if frame is None:
+                break
+            rgb = frame_to_rgb(frame, size)
+            client.predict(rgb)  # local inference on the current model
+            frames_done += 1
+            bucket.append((rgb, None))
+            if frames_done % fps == 0:
+                second += 1
+                if a.max_seconds and second >= a.max_seconds:
+                    break
+                if second % a.send_period == 0:
+                    samples, _ = choose_frames(bucket, sample_fraction)
+                    bucket = []
+                    if samples:
+                        arr = np.stack(samples)
+                        if a.compress_uplink:
+                            exact = client.send_samples_compressed(
+                                arr, float(second),
+                                bitrate_kbps=a.uplink_bw * a.send_period,
+                                fps=fps)
+                            if not exact:
+                                print("WARNING: mp4v fallback uplink "
+                                      "(no ffmpeg)", flush=True)
+                        else:
+                            client.send_samples(arr, float(second))
+                        if second - last_train_t >= a.train_period:
+                            expected_rounds += 1
+                            last_train_t = second
+                n = client.poll_deltas()
+                if n:
+                    print("t=%ds: applied %d delta(s), downlink %.1f Kb "
+                          "total" % (second, n,
+                                     client.downlink_bits / 1024),
+                          flush=True)
+    finally:
+        reader.release()
+        # apply any deltas still in flight (the server may be mid-round)
+        n = client.drain(grace=150.0, expect=expected_rounds)
+        if n:
+            print("end of stream: applied %d late delta(s)" % n, flush=True)
+        client.close()
+    wall = time.time() - t0
+    print("streamed %d frames (%.1f fps wall), %d deltas applied, "
+          "uplink %.1f Kb, downlink %.1f Kb"
+          % (frames_done, frames_done / max(wall, 1e-9),
+             client.deltas_applied, client.uplink_bits / 1024,
+             client.downlink_bits / 1024))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""AMS live server CLI: accept edge clients, label, train, stream deltas.
+
+The deployment counterpart of the emulation driver (cli/run.py): instead of
+replaying one video in-process, this serves real edge clients (cli/edge.py)
+over TCP — the reference has no equivalent (its server/client halves run
+sequentially and hand off through files, run.py:600-606).
+
+Example:
+    python cli/serve.py --port 9097 --teacher_checkpoint ckpt/xception65 \
+        --max_clients 3
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=9097)
+    p.add_argument("--teacher_checkpoint", default=None,
+                   help="Xception-65 teacher weights (npy/npz/TF prefix); "
+                        "omitted = seeded synthetic (demo only)")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    p.add_argument("--max_clients", type=int, default=1,
+                   help="edge streams served concurrently (rounds run "
+                        "serially on the device; a v5e-1 sustains ~3 "
+                        "reference-cadence streams)")
+    a = p.parse_args(argv)
+
+    from ams_tpu.runtime.labeler import make_teacher_labeler
+    from ams_tpu.runtime.live import LiveServer
+
+    # lazy: listen immediately; build/compile the teacher on first batch
+    holder = {}
+
+    def labeler(frames):
+        if "fn" not in holder:
+            holder["fn"] = make_teacher_labeler(
+                a.teacher_checkpoint, compute_dtype=a.compute_dtype)
+        return holder["fn"](frames)
+
+    server = LiveServer(labeler, host=a.host, port=a.port,
+                        max_clients=a.max_clients)
+    print("ams live server on %s:%d (max_clients=%d)"
+          % (server.address[0], server.address[1], a.max_clients),
+          flush=True)
+    server.serve_in_background()
+    server.join()
+    print("served %d rounds" % server.rounds_served)
+
+
+if __name__ == "__main__":
+    main()
