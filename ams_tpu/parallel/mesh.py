@@ -24,25 +24,36 @@ from jax.sharding import Mesh
 
 def init_multi_host(coordinator_address: Optional[str] = None,
                     num_processes: Optional[int] = None,
-                    process_id: Optional[int] = None) -> int:
+                    process_id: Optional[int] = None,
+                    auto: bool = False) -> int:
     """Join a multi-host JAX runtime (one process per host, TPU pod slices).
 
     Wraps ``jax.distributed.initialize``: afterwards ``jax.devices()``
     returns the GLOBAL device list and ``make_mesh`` builds a pod-wide mesh
     whose 'data' axis spans hosts (collectives ride ICI within a slice, DCN
-    across slices — keep the 'model' axis intra-host).  On a single process
-    with no coordinator configured this is a no-op.  Returns the process
+    across slices — keep the 'model' axis intra-host).  Returns the process
     count.  The reference's only multi-machine story is launching
     independent run.py processes (SemanticNetwork.py:74, run.py:28-29).
+
+    Cloud TPU pod slices publish cluster info via instance metadata, not
+    env vars, so pass ``auto=True`` there to let argument-less
+    ``jax.distributed.initialize()`` auto-detect the slice.  Without
+    ``auto``, a process with no coordinator configured (no args, no
+    JAX_COORDINATOR_ADDRESS) stays single-host — auto-detection is opt-in
+    because it can block while probing for a coordinator on dev boxes.
     """
     import jax.distributed
 
-    if coordinator_address is None and num_processes is None \
-            and "JAX_COORDINATOR_ADDRESS" not in __import__("os").environ:
+    explicit = coordinator_address is not None or num_processes is not None \
+        or "JAX_COORDINATOR_ADDRESS" in __import__("os").environ
+    if not explicit and not auto:
         return 1  # single-host: nothing to join
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    if explicit:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    else:
+        jax.distributed.initialize()  # cloud auto-detection
     return jax.process_count()
 
 

@@ -52,7 +52,11 @@ def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
             params = {k: jnp.asarray(v)
                       for k, v in ckpt.merge_restore(base, loaded).items()}
         except FileNotFoundError:
-            pass
+            # loud: a typo'd path here would silently distill every edge
+            # client toward random-teacher labels
+            print("WARNING: teacher checkpoint %r not found — labeling "
+                  "with a SEEDED SYNTHETIC teacher (tests/demos only)"
+                  % teacher_checkpoint, flush=True)
     if params is None:
         params = init_teacher_params(jax.random.PRNGKey(seed))
 

@@ -90,8 +90,7 @@ def _npz_load(blob: bytes) -> Dict[str, np.ndarray]:
 class _ClientState:
     """Per-connection server-side state: one student + frame memory."""
 
-    def __init__(self, conn: socket.socket, hello: Dict):
-        self.conn = conn
+    def __init__(self, hello: Dict):
         self.hello = hello
         exp_num = hello["exp_num"]
         height = hello["height"]
@@ -154,28 +153,40 @@ class LiveServer:
 
     def _accept_loop(self) -> None:
         try:
-            for _ in range(self.max_clients):
-                conn, _ = self._lsock.accept()
-                t = threading.Thread(target=self._client_loop, args=(conn,),
-                                     daemon=True)
+            served = 0
+            while served < self.max_clients:
+                conn, peer = self._lsock.accept()
+                # handshake inline: a stray connection (port scanner,
+                # health check) that closes or talks garbage must not burn
+                # one of the max_clients slots
+                try:
+                    mtype, payload = recv_msg(conn)
+                    if mtype != b"H":
+                        conn.close()
+                        continue
+                    hello = json.loads(payload.decode())
+                except (OSError, ValueError):
+                    conn.close()
+                    continue
+                t = threading.Thread(target=self._client_loop,
+                                     args=(conn, hello), daemon=True)
                 self._threads.append(t)
                 t.start()
+                served += 1
         except BaseException as e:
             self.error = e
         finally:
             self._lsock.close()
 
-    def _client_loop(self, conn: socket.socket) -> None:
+    def _client_loop(self, conn: socket.socket, hello: Dict) -> None:
         try:
             with conn:
-                self._handle(conn)
+                self._handle(conn, hello)
         except BaseException as e:  # surfaced by join()
             self.error = e
 
-    def _handle(self, conn: socket.socket) -> None:
-        mtype, payload = recv_msg(conn)
-        assert mtype == b"H", mtype
-        st = _ClientState(conn, json.loads(payload.decode()))
+    def _handle(self, conn: socket.socket, hello: Dict) -> None:
+        st = _ClientState(hello)
         client_id = st.hello.get("client_id", id(st))
 
         # initial deploy: the full raw snapshot (the emulation's t=0
@@ -250,7 +261,6 @@ class LiveClient:
         send_msg(self.sock, b"F",
                  _npz_bytes(frames=np.asarray(frames, np.uint8),
                             t=np.float64(t)))
-        self.uplink_bits += 0  # raw path: accounted by the caller if at all
 
     def send_samples_compressed(self, frames: np.ndarray, t: float, *,
                                 bitrate_kbps: float, fps: int = 10) -> bool:

@@ -18,6 +18,7 @@ produces; flagged in the result so experiments know the emulation differs).
 from __future__ import annotations
 
 import dataclasses
+import glob
 import os
 import shutil
 import subprocess as sp
@@ -53,48 +54,29 @@ def png_size_probe(frames_bgr: List[np.ndarray], tmp_dir: Optional[str] = None
     return total_kb * 8
 
 
-def encode_decode_h264(frames_bgr: List[np.ndarray], bitrate_kbps: float,
-                       out_hw: Tuple[int, int], fps: int = 10,
-                       work_dir: Optional[str] = None) -> UplinkResult:
-    """Encode the sample buffer at a target bitrate, decode it back, resize
-    to the training size and convert to RGB (run.py:195-266 semantics)."""
+def _scratch_file(work_dir: Optional[str], prefix: str):
+    """-> (file path, cleanup fn).  A caller-provided work_dir keeps only
+    its stray ffmpeg pass logs removed; an implicit one is removed whole
+    (the live loop calls these every period — leaks are unbounded)."""
+    own = work_dir is None
     work_dir = work_dir or tempfile.mkdtemp(prefix="ams_uplink_")
     # Unique name per call: concurrent experiments sharing an output dir
     # must not clobber each other's uplink video (the reference's fixed
     # per-run name relied on unique run labels).
-    fd, out_file = tempfile.mkstemp(prefix="uplink_tmp_", suffix=".mp4",
-                                    dir=work_dir)
+    fd, path = tempfile.mkstemp(prefix=prefix, suffix=".mp4", dir=work_dir)
     os.close(fd)
-    h_in, w_in = frames_bgr[0].shape[:2]
 
-    if os.path.exists(FFMPEG):
-        _ffmpeg_two_pass(frames_bgr, bitrate_kbps, (w_in, h_in), fps,
-                         out_file)
-        exact = True
-    else:
-        writer = cv2.VideoWriter(out_file, cv2.VideoWriter_fourcc(*"mp4v"),
-                                 fps, (w_in, h_in))
-        if not writer.isOpened():
-            raise IOError("no ffmpeg and cv2.VideoWriter failed")
-        for f in frames_bgr:
-            writer.write(f)
-        writer.release()
-        exact = False
+    def cleanup():
+        if own:
+            shutil.rmtree(work_dir, ignore_errors=True)
+        else:
+            for p in glob.glob(path + "*"):  # the .mp4 + 2-pass logs
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
-    size_bits = os.path.getsize(out_file) / 1024 * 8  # Kbits, run.py:255-257
-
-    decoded: List[np.ndarray] = []
-    cap = cv2.VideoCapture(out_file)
-    while True:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        frame = cv2.resize(frame, (out_hw[1], out_hw[0]))
-        decoded.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-    cap.release()
-    os.remove(out_file)
-    return UplinkResult(frames=decoded, bits=size_bits,
-                        exact_reference_codec=exact)
+    return path, cleanup
 
 
 def encode_h264_bytes(frames_bgr: List[np.ndarray], bitrate_kbps: float,
@@ -102,52 +84,67 @@ def encode_h264_bytes(frames_bgr: List[np.ndarray], bitrate_kbps: float,
                       ) -> Tuple[bytes, bool]:
     """Encode the sample buffer and return the VIDEO BYTES (for shipping
     over a real uplink — runtime/live.py) -> (blob, exact_reference_codec).
-    Same codecs/fallback as encode_decode_h264."""
-    work_dir = work_dir or tempfile.mkdtemp(prefix="ams_uplink_")
-    fd, out_file = tempfile.mkstemp(prefix="uplink_tx_", suffix=".mp4",
-                                    dir=work_dir)
-    os.close(fd)
-    h_in, w_in = frames_bgr[0].shape[:2]
-    if os.path.exists(FFMPEG):
-        _ffmpeg_two_pass(frames_bgr, bitrate_kbps, (w_in, h_in), fps,
-                         out_file)
-        exact = True
-    else:
-        writer = cv2.VideoWriter(out_file, cv2.VideoWriter_fourcc(*"mp4v"),
-                                 fps, (w_in, h_in))
-        if not writer.isOpened():
-            raise IOError("no ffmpeg and cv2.VideoWriter failed")
-        for f in frames_bgr:
-            writer.write(f)
-        writer.release()
-        exact = False
-    with open(out_file, "rb") as f:
-        blob = f.read()
-    os.remove(out_file)
-    return blob, exact
+    ffmpeg 2-pass H.264 when available, flagged cv2 mp4v otherwise."""
+    out_file, cleanup = _scratch_file(work_dir, "uplink_tx_")
+    try:
+        h_in, w_in = frames_bgr[0].shape[:2]
+        if os.path.exists(FFMPEG):
+            _ffmpeg_two_pass(frames_bgr, bitrate_kbps, (w_in, h_in), fps,
+                             out_file)
+            exact = True
+        else:
+            writer = cv2.VideoWriter(out_file,
+                                     cv2.VideoWriter_fourcc(*"mp4v"),
+                                     fps, (w_in, h_in))
+            if not writer.isOpened():
+                raise IOError("no ffmpeg and cv2.VideoWriter failed")
+            for f in frames_bgr:
+                writer.write(f)
+            writer.release()
+            exact = False
+        with open(out_file, "rb") as f:
+            blob = f.read()
+        return blob, exact
+    finally:
+        cleanup()
 
 
 def decode_video_bytes(blob: bytes, out_hw: Tuple[int, int],
                        work_dir: Optional[str] = None) -> List[np.ndarray]:
     """Decode a shipped uplink video back to RGB frames at the training
     size (the server half of the real uplink)."""
-    work_dir = work_dir or tempfile.mkdtemp(prefix="ams_uplink_")
-    fd, in_file = tempfile.mkstemp(prefix="uplink_rx_", suffix=".mp4",
-                                   dir=work_dir)
-    os.close(fd)
-    with open(in_file, "wb") as f:
-        f.write(blob)
-    decoded: List[np.ndarray] = []
-    cap = cv2.VideoCapture(in_file)
-    while True:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        frame = cv2.resize(frame, (out_hw[1], out_hw[0]))
-        decoded.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-    cap.release()
-    os.remove(in_file)
-    return decoded
+    in_file, cleanup = _scratch_file(work_dir, "uplink_rx_")
+    try:
+        with open(in_file, "wb") as f:
+            f.write(blob)
+        decoded: List[np.ndarray] = []
+        cap = cv2.VideoCapture(in_file)
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            frame = cv2.resize(frame, (out_hw[1], out_hw[0]))
+            decoded.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        cap.release()
+        return decoded
+    finally:
+        cleanup()
+
+
+def encode_decode_h264(frames_bgr: List[np.ndarray], bitrate_kbps: float,
+                       out_hw: Tuple[int, int], fps: int = 10,
+                       work_dir: Optional[str] = None) -> UplinkResult:
+    """Encode the sample buffer at a target bitrate, decode it back, resize
+    to the training size and convert to RGB (run.py:195-266 semantics).
+
+    The emulation path is exactly the live path's two halves, so the
+    accounting can never drift from what the real network ships."""
+    blob, exact = encode_h264_bytes(frames_bgr, bitrate_kbps, fps=fps,
+                                    work_dir=work_dir)
+    size_bits = len(blob) / 1024 * 8  # Kbits, run.py:255-257
+    decoded = decode_video_bytes(blob, out_hw, work_dir=work_dir)
+    return UplinkResult(frames=decoded, bits=size_bits,
+                        exact_reference_codec=exact)
 
 
 def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):

@@ -61,6 +61,10 @@ def main(argv=None):
 
     reader = PrefetchingVideoReader(a.input_video)
     fps = int(reader.fps)
+    if fps <= 0:
+        print("WARNING: no fps metadata in %s; assuming 30" % a.input_video,
+              flush=True)
+        fps = 30
     size = (a.height, 2 * a.height)
     sample_fraction = a.sample_fraction
     if sample_fraction is None:

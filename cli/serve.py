@@ -37,13 +37,19 @@ def main(argv=None):
     from ams_tpu.runtime.live import LiveServer
 
     # lazy: listen immediately; build/compile the teacher on first batch
+    # (locked: concurrent client threads must not build it twice)
+    import threading
+
     holder = {}
+    holder_lock = threading.Lock()
 
     def labeler(frames):
-        if "fn" not in holder:
-            holder["fn"] = make_teacher_labeler(
-                a.teacher_checkpoint, compute_dtype=a.compute_dtype)
-        return holder["fn"](frames)
+        with holder_lock:
+            if "fn" not in holder:
+                holder["fn"] = make_teacher_labeler(
+                    a.teacher_checkpoint, compute_dtype=a.compute_dtype)
+            fn = holder["fn"]
+        return fn(frames)
 
     server = LiveServer(labeler, host=a.host, port=a.port,
                         max_clients=a.max_clients)

@@ -86,6 +86,15 @@ def test_live_multi_client():
     server = LiveServer(_stub_labeler, max_clients=2)
     server.serve_in_background()
 
+    # stray connections (port scans, health checks) must not burn client
+    # slots or poison the server
+    import socket as socklib
+    probe = socklib.create_connection(tuple(server.address))
+    probe.close()
+    probe = socklib.create_connection(tuple(server.address))
+    probe.sendall(b"garbage")
+    probe.close()
+
     clients = [
         LiveClient(server.address, exp_num=90, height=32,
                    strategy="full_model", iters=2, batch_size=2,

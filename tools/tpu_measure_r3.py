@@ -31,17 +31,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def measure(fn, *args, iters=15, trials=3):
-    np.asarray(fn(*args))
-    best = None
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        np.asarray(out)
-        dt = (time.perf_counter() - t0) / iters
-        best = dt if best is None else min(best, dt)
-    return best
+from tools.measure_common import measure  # noqa: E402
 
 
 def _dw_shift(x, w, stride=1, rate=1, padding="SAME", *, compute_dtype=None,
