@@ -257,10 +257,12 @@ class LiveClient:
 
     def send_samples(self, frames: np.ndarray, t: float) -> None:
         """Uplink a (N, H, 2H, 3) uint8 RGB frame batch stamped at stream
-        second ``t`` (uncompressed)."""
-        send_msg(self.sock, b"F",
-                 _npz_bytes(frames=np.asarray(frames, np.uint8),
-                            t=np.float64(t)))
+        second ``t`` (lossless; npz-deflate — the live analog of the
+        emulation's PNG byte probe for the uncompressed path)."""
+        payload = _npz_bytes(frames=np.asarray(frames, np.uint8),
+                             t=np.float64(t))
+        send_msg(self.sock, b"F", payload)
+        self.uplink_bits += len(payload) * 8
 
     def send_samples_compressed(self, frames: np.ndarray, t: float, *,
                                 bitrate_kbps: float, fps: int = 10) -> bool:

@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--student_checkpoint", default="synthetic")
     p.add_argument("--max_seconds", type=int, default=0,
                    help="stop after N stream seconds (0 = whole clip)")
+    p.add_argument("--output_dir", default="",
+                   help="write the emulation's bandwidth artifact set "
+                        "(_bw_uplink/_bw_downlink/_model_update_times/"
+                        "_fps_client .npy + _update.txt) for this live run")
+    p.add_argument("--run_label", default="live")
     a = p.parse_args(argv)
 
     from ams_tpu import configs as exp_configs
@@ -77,6 +82,14 @@ def main(argv=None):
     # fires when a sample batch arrives at t with t - last_train >= period
     expected_rounds = 0
     last_train_t = -1e9
+    # per-period bandwidth accounting, emulation-artifact compatible
+    up_bw_per_period = []
+    down_bw_per_update = []
+    model_update_times = [0.0]
+    fps_per_second = []
+    last_uplink_bits = 0
+    samples_sent = 0
+    sec_t0 = time.time()
     try:
         while True:
             frame = reader.read()
@@ -108,12 +121,22 @@ def main(argv=None):
                         if second - last_train_t >= a.train_period:
                             expected_rounds += 1
                             last_train_t = second
+                        up_bw_per_period.append(
+                            client.uplink_bits - last_uplink_bits)
+                        last_uplink_bits = client.uplink_bits
+                        samples_sent += len(samples)
+                before_bits = client.downlink_bits
                 n = client.poll_deltas()
                 if n:
+                    down_bw_per_update.append(
+                        (client.downlink_bits - before_bits) / max(n, 1))
+                    model_update_times.extend([float(second)] * n)
                     print("t=%ds: applied %d delta(s), downlink %.1f Kb "
                           "total" % (second, n,
                                      client.downlink_bits / 1024),
                           flush=True)
+                fps_per_second.append(fps / max(time.time() - sec_t0, 1e-9))
+                sec_t0 = time.time()
     finally:
         reader.release()
         # apply any deltas still in flight (the server may be mid-round)
@@ -127,6 +150,24 @@ def main(argv=None):
           % (frames_done, frames_done / max(wall, 1e-9),
              client.deltas_applied, client.uplink_bits / 1024,
              client.downlink_bits / 1024))
+    if a.output_dir:
+        os.makedirs(a.output_dir, exist_ok=True)
+        base = os.path.join(a.output_dir, "%d_%s_results"
+                            % (exp_num, a.run_label))
+        np.save(base + "_bw_uplink.npy", np.asarray(up_bw_per_period))
+        np.save(base + "_bw_downlink.npy", np.asarray(down_bw_per_update))
+        np.save(base + "_model_update_times.npy",
+                np.asarray(model_update_times))
+        np.save(base + "_fps_client.npy", np.asarray(fps_per_second))
+        with open(base + "_update.txt", "w") as f:
+            # same 5-line format the emulation writes (runtime/server.py:
+            # total down bits, total up bits, updates, seconds, samples)
+            f.write("%d\n%d\n%d\n%d\n%d" % (client.downlink_bits,
+                                            client.uplink_bits,
+                                            client.deltas_applied,
+                                            second, samples_sent))
+        print("artifacts: %s_{bw_uplink,bw_downlink,model_update_times,"
+              "fps_client}.npy + _update.txt" % base)
 
 
 if __name__ == "__main__":
