@@ -98,6 +98,7 @@ class _ClientState:
         self.iters = hello.get("iters", 200)
         self.train_period = hello.get("train_period", 10)
         self.no_restore = hello.get("no_restore", False)
+        self.wire_dtype = hello.get("wire_dtype", "float16")
         self.network = SemanticNetwork(
             meta_dir=hello.get("checkpoint"),
             class_weights_exp=exp_configs.class_weights(exp_num),
@@ -222,7 +223,8 @@ class LiveServer:
                                 present=st.network.params.keys())
             blob = encode_delta(dict(zip(names, st.network.train_params)),
                                 dict(zip(names, st.network.curr_mask)),
-                                strategy=st.strategy)
+                                strategy=st.strategy,
+                                wire_dtype=st.wire_dtype)
             try:
                 send_msg(conn, b"D", blob)
             except (BrokenPipeError, ConnectionResetError):
@@ -236,13 +238,15 @@ class LiveClient:
     """Edge client: upload frame samples, apply downlink deltas, infer."""
 
     def __init__(self, address, *, exp_num: int, height: int,
-                 strategy: str = "coord_desc_auto", **hello_extra):
+                 strategy: str = "coord_desc_auto",
+                 wire_dtype: str = "float16", **hello_extra):
         self.exp_num = exp_num
         self.height = height
         self.strategy = strategy
+        self.wire_dtype = wire_dtype
         self.sock = socket.create_connection(tuple(address))
         hello = dict(exp_num=exp_num, height=height, strategy=strategy,
-                     **hello_extra)
+                     wire_dtype=wire_dtype, **hello_extra)
         send_msg(self.sock, b"H", json.dumps(hello).encode())
         mtype, payload = recv_msg(self.sock)
         assert mtype == b"M", mtype
@@ -293,7 +297,8 @@ class LiveClient:
             if mtype in (None, b"Q"):
                 return applied
             assert mtype == b"D", mtype
-            self.network.apply_downlink(payload, strategy=self.strategy)
+            self.network.apply_downlink(payload, strategy=self.strategy,
+                                        wire_dtype=self.wire_dtype)
             self.downlink_bits += len(payload) * 8
             self.deltas_applied += 1
             applied += 1

@@ -406,10 +406,12 @@ class SemanticNetwork:
 
     # ----------------------------------------------------------- export
 
-    def apply_downlink(self, blob: bytes, strategy: str = "full_model"):
+    def apply_downlink(self, blob: bytes, strategy: str = "full_model",
+                       wire_dtype: str = "float16"):
         """Edge-device update path: decode a delta payload and overlay the
-        masked fp16 values onto the local weights (the real system's
-        downlink consumer; the reference only measures payload bytes)."""
+        masked values (fp16 reference wire, or the opt-in int8 wire) onto
+        the local weights (the real system's downlink consumer; the
+        reference only measures payload bytes)."""
         from ams_tpu.stream.codec import apply_delta, decode_delta
 
         assert not self._folded, (
@@ -417,7 +419,8 @@ class SemanticNetwork:
             "delta-consuming client must be deployed with fold=False")
         host = self.get_vars()
         shapes = {k: v.shape for k, v in host.items()}
-        masks, values = decode_delta(blob, shapes, strategy=strategy)
+        masks, values = decode_delta(blob, shapes, strategy=strategy,
+                                     wire_dtype=wire_dtype)
         updated = apply_delta(host, masks, values)
         self.params = {k: jnp.asarray(v) for k, v in updated.items()}
 

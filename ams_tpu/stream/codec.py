@@ -43,26 +43,48 @@ def delta_order(strategy: str, present=None) -> List[str]:
 
 
 def pack_payload(masks: Sequence[np.ndarray],
-                 values: Sequence[np.ndarray]) -> bytes:
-    """Raw (pre-compression) payload from per-var masks + masked params."""
+                 values: Sequence[np.ndarray],
+                 wire_dtype: str = "float16") -> bytes:
+    """Raw (pre-compression) payload from per-var masks + masked params.
+
+    wire_dtype "float16" is the reference-compatible format.  "int8" is an
+    opt-in extension the reference lacks: per-var symmetric quantization
+    (one f32 scale + int8 values per var), halving the values section —
+    downlink bandwidth is AMS's headline cost.  Both ends must agree on
+    the dtype (the live runtime negotiates it in the hello).
+    """
     buf = io.BytesIO()
     for m in masks:
         buf.write(np.packbits(np.asarray(m, bool).reshape(-1)).tobytes())
     for m, v in zip(masks, values):
         v = np.asarray(v)
         assert v.shape == np.asarray(m).shape, (v.shape, np.shape(m))
-        buf.write(v[np.asarray(m, bool)].astype(np.float16).tobytes())
+        picked = v[np.asarray(m, bool)].astype(np.float32)
+        if wire_dtype == "float16":
+            buf.write(picked.astype(np.float16).tobytes())
+        elif wire_dtype == "int8":
+            scale = float(np.max(np.abs(picked))) / 127.0 \
+                if picked.size else 0.0
+            buf.write(np.float32(scale).tobytes())
+            if picked.size:
+                q = np.clip(np.round(picked / scale) if scale else picked,
+                            -127, 127).astype(np.int8)
+                buf.write(q.tobytes())
+        else:
+            raise ValueError("unknown wire_dtype %r" % wire_dtype)
     return buf.getvalue()
 
 
 def encode_delta(params: Dict[str, np.ndarray],
                  masks: Optional[Dict[str, np.ndarray]],
                  strategy: str = "full_model",
-                 use_native: bool = True) -> bytes:
+                 use_native: bool = True,
+                 wire_dtype: str = "float16") -> bytes:
     """Gzip'd downlink payload for one training round.
 
     params: post-round parameter dict (flat TF names).
     masks: bool dict over trainable params (None -> all-ones, full_model).
+    wire_dtype: "float16" (reference format) or "int8" (see pack_payload).
     """
     order = delta_order(strategy, present=params)
     mask_list, value_list = [], []
@@ -74,7 +96,7 @@ def encode_delta(params: Dict[str, np.ndarray],
             m = np.asarray(masks.get(name, np.ones(v.shape, bool)), bool)
         mask_list.append(m)
         value_list.append(v)
-    raw = pack_payload(mask_list, value_list)
+    raw = pack_payload(mask_list, value_list, wire_dtype=wire_dtype)
     if use_native:
         try:
             from ams_tpu.native import codec as native_codec
@@ -92,12 +114,14 @@ def encode_delta(params: Dict[str, np.ndarray],
 def decode_delta(blob: bytes,
                  shapes: Dict[str, Tuple[int, ...]],
                  strategy: str = "full_model",
+                 wire_dtype: str = "float16",
                  ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Inverse of encode_delta -> (masks, sparse values per var).
 
-    Returns masks and, for each var, a float16 array of the masked values
-    scattered into a dense array (unmasked entries are 0); use
-    ``apply_delta`` to overlay onto a parameter dict.
+    Returns masks and, for each var, the masked values (fp16, or
+    dequantized f32 for the int8 wire) scattered into a dense array
+    (unmasked entries are 0); use ``apply_delta`` to overlay onto a
+    parameter dict.
     """
     raw = gzip.decompress(blob)
     order = delta_order(strategy, present=shapes)
@@ -114,9 +138,20 @@ def decode_delta(blob: bytes,
     for name in order:
         m = masks[name]
         cnt = int(m.sum())
-        vals = np.frombuffer(raw, np.float16, count=cnt, offset=off)
-        off += cnt * 2
-        dense = np.zeros(m.shape, np.float16)
+        if wire_dtype == "float16":
+            vals = np.frombuffer(raw, np.float16, count=cnt, offset=off)
+            off += cnt * 2
+            dense = np.zeros(m.shape, np.float16)
+        elif wire_dtype == "int8":
+            scale = float(np.frombuffer(raw, np.float32, count=1,
+                                        offset=off)[0])
+            off += 4
+            q = np.frombuffer(raw, np.int8, count=cnt, offset=off)
+            off += cnt
+            vals = q.astype(np.float32) * scale
+            dense = np.zeros(m.shape, np.float32)
+        else:
+            raise ValueError("unknown wire_dtype %r" % wire_dtype)
         dense[m] = vals
         values[name] = dense
     if off != len(raw):

@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--sample_fraction", type=float, default=None,
                    help="fraction of a period's frames to sample "
                         "(default: send_period/fps seconds' worth = 1/fps)")
+    p.add_argument("--wire_dtype", choices=["float16", "int8"],
+                   default="float16",
+                   help="delta value encoding: float16 = reference wire "
+                        "format; int8 = per-var-quantized (~2x smaller)")
     p.add_argument("--student_checkpoint", default="synthetic")
     p.add_argument("--max_seconds", type=int, default=0,
                    help="stop after N stream seconds (0 = whole clip)")
@@ -59,9 +63,9 @@ def main(argv=None):
     exp_num = exp_configs.video_exp_num(a.input_video)
     client = LiveClient(
         (host, int(port)), exp_num=exp_num, height=a.height,
-        strategy=a.train_strategy, iters=a.iter, batch_size=a.batch_size,
-        train_period=a.train_period, lr=a.lr, coord_frac=a.coord_fraction,
-        checkpoint=a.student_checkpoint)
+        strategy=a.train_strategy, wire_dtype=a.wire_dtype, iters=a.iter,
+        batch_size=a.batch_size, train_period=a.train_period, lr=a.lr,
+        coord_frac=a.coord_fraction, checkpoint=a.student_checkpoint)
     print("connected; initial model deployed", flush=True)
 
     reader = PrefetchingVideoReader(a.input_video)

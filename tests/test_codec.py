@@ -92,3 +92,46 @@ def test_native_fp16_edge_cases():
 
 def test_payload_bits():
     assert payload_bits(b"abcd") == 32
+
+
+def test_int8_wire_roundtrip():
+    """Opt-in int8 wire: per-var symmetric quantization, error bounded by
+    half a quantization step, payload ~half the fp16 wire's."""
+    rng = np.random.RandomState(7)
+    shapes = {n: (32, 7) for n in TRAINABLE_ORDER[:5]}
+    params = {n: (rng.randn(*s) * 0.05).astype(np.float32)
+              for n, s in shapes.items()}
+    masks = {n: rng.rand(*s) > 0.5 for n, s in shapes.items()}
+    # uncompressible values make the size ratio meaningful
+    blob8 = encode_delta(params, masks, strategy="coord_desc_auto",
+                         wire_dtype="int8")
+    blob16 = encode_delta(params, masks, strategy="coord_desc_auto")
+    m8, v8 = decode_delta(blob8, shapes, strategy="coord_desc_auto",
+                          wire_dtype="int8")
+    for n in shapes:
+        np.testing.assert_array_equal(m8[n], masks[n])
+        picked = params[n][masks[n]]
+        scale = np.abs(picked).max() / 127.0
+        err = np.abs(v8[n][masks[n]] - picked)
+        assert err.max() <= scale / 2 + 1e-7, n
+    # values section halves; bitmask section is shared, so expect a
+    # meaningful (not exactly 2x) shrink on these dense random values
+    assert len(blob8) < 0.75 * len(blob16), (len(blob8), len(blob16))
+    # applying overlays only the masked entries
+    out = apply_delta(params, m8, v8)
+    for n in shapes:
+        inv = ~masks[n]
+        np.testing.assert_array_equal(out[n][inv], params[n][inv])
+
+
+def test_int8_wire_empty_and_zero_scale():
+    shapes = {TRAINABLE_ORDER[0]: (4, 4), TRAINABLE_ORDER[1]: (3,)}
+    params = {n: np.zeros(s, np.float32) for n, s in shapes.items()}
+    masks = {TRAINABLE_ORDER[0]: np.zeros((4, 4), bool),   # empty mask
+             TRAINABLE_ORDER[1]: np.ones((3,), bool)}      # all-zero values
+    blob = encode_delta(params, masks, strategy="coord_desc_auto",
+                        wire_dtype="int8")
+    m, v = decode_delta(blob, shapes, strategy="coord_desc_auto",
+                        wire_dtype="int8")
+    assert not m[TRAINABLE_ORDER[0]].any()
+    np.testing.assert_array_equal(v[TRAINABLE_ORDER[1]], np.zeros(3))

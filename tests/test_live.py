@@ -99,7 +99,9 @@ def test_live_multi_client():
         LiveClient(server.address, exp_num=90, height=32,
                    strategy="full_model", iters=2, batch_size=2,
                    train_period=1, checkpoint="synthetic",
-                   client_id="edge%d" % j)
+                   client_id="edge%d" % j,
+                   # client 1 negotiates the int8 wire (~2x smaller deltas)
+                   wire_dtype="float16" if j == 0 else "int8")
         for j in range(2)
     ]
     rng = np.random.RandomState(1)
@@ -117,6 +119,8 @@ def test_live_multi_client():
     a = server.final_vars["edge0"]["logits/semantic/weights"]
     b = server.final_vars["edge1"]["logits/semantic/weights"]
     assert not np.array_equal(a, b)
+    assert clients[1].downlink_bits < 0.75 * clients[0].downlink_bits, \
+        (clients[1].downlink_bits, clients[0].downlink_bits)
     for j, c in enumerate(clients):
         srv = server.final_vars["edge%d" % j]
         cli = c.network.get_vars()

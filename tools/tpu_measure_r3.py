@@ -263,6 +263,54 @@ def part_stage_d():
                           "value": round(dt * 1000, 2)}), flush=True)
 
 
+def part_stem():
+    """Stem isolation: preprocess+stride-2 stem conv is 39% of the fast
+    backbone (PERFORMANCE.md layer table).  Variants: baseline C=3 conv,
+    input channel-padded to 8 (zeros; better (8,128) tiling?), s2d regression
+    check."""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.models import layers as L
+    from ams_tpu.models.mobilenetv2_deeplab import (
+        init_student_params,
+        preprocess,
+    )
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    w = params["MobilenetV2/Conv/weights"]
+    batch = 128
+    frames = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (batch, 512, 512, 3)),
+        jnp.uint8)
+
+    @jax.jit
+    def stem_base(w, f):
+        x = preprocess(f.astype(jnp.float32), dtype=jnp.bfloat16)
+        y = L.conv2d(x, w, stride=2, compute_dtype=jnp.bfloat16)
+        return L.relu6(y).astype(jnp.float32).sum()
+
+    @jax.jit
+    def stem_pad8(w, f):
+        x = preprocess(f.astype(jnp.float32), dtype=jnp.bfloat16)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
+        w8 = jnp.pad(w, ((0, 0), (0, 0), (0, 5), (0, 0)))
+        y = L.conv2d(x, w8, stride=2, compute_dtype=jnp.bfloat16)
+        return L.relu6(y).astype(jnp.float32).sum()
+
+    @jax.jit
+    def stem_s2d(w, f):
+        x = preprocess(f.astype(jnp.float32), dtype=jnp.bfloat16)
+        y = L.conv2d_stride2_s2d(x, w, compute_dtype=jnp.bfloat16)
+        return L.relu6(y).astype(jnp.float32).sum()
+
+    for name, fn in (("base", stem_base), ("pad8", stem_pad8),
+                     ("s2d", stem_s2d)):
+        dt = measure(fn, w, frames, iters=20)
+        print(json.dumps({"metric": "stem_%s_ms_b128" % name,
+                          "value": round(dt * 1000, 2)}), flush=True)
+
+
 def part_vmap_videos():
     """Serving consolidation: V videos' rounds batched into one program
     (make_vmapped_multi_video_round) at the reference configuration.
@@ -319,7 +367,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", choices=["step_variants", "infer_sweep",
                                        "fused_mbconv", "stage_d",
-                                       "vmap_videos"],
+                                       "vmap_videos", "stem"],
                     default="step_variants")
     ap.add_argument("--vs", default="2,4",
                     help="video counts for vmap_videos")
@@ -333,5 +381,7 @@ if __name__ == "__main__":
         part_stage_d()
     elif a.part == "vmap_videos":
         part_vmap_videos()
+    elif a.part == "stem":
+        part_stem()
     else:
         part_infer_sweep()
