@@ -127,9 +127,13 @@ class LiveServer:
 
     def __init__(self, labeler: Callable[[np.ndarray], np.ndarray], *,
                  host: str = "127.0.0.1", port: int = 0,
-                 max_clients: int = 1):
+                 max_clients: int = 1, resume_dir: Optional[str] = None):
         self.labeler = labeler
         self.max_clients = max_clients
+        self.resume_dir = resume_dir  # per-client state bundles survive
+        # server restarts: a reconnecting client_id resumes its student,
+        # Adam slots, frame memory and training clock (runtime/resume.py
+        # primitives; the emulation's mid-run resume, for the live loop)
         self._lsock = socket.create_server((host, port))
         self.address = self._lsock.getsockname()
         self._threads = []
@@ -186,12 +190,30 @@ class LiveServer:
         except BaseException as e:  # surfaced by join()
             self.error = e
 
+    def _resume_prefix(self, client_id) -> Optional[str]:
+        if self.resume_dir is None:
+            return None
+        import os
+        os.makedirs(self.resume_dir, exist_ok=True)
+        return os.path.join(self.resume_dir, "live_%s" % client_id)
+
     def _handle(self, conn: socket.socket, hello: Dict) -> None:
         st = _ClientState(hello)
         client_id = st.hello.get("client_id", id(st))
 
+        prefix = self._resume_prefix(client_id)
+        if prefix is not None:
+            from ams_tpu.runtime import resume as resume_mod
+            bundle = resume_mod.load_state(prefix)
+            if bundle is not None:
+                arrays, meta = bundle
+                resume_mod.restore_network(st.network, arrays)
+                resume_mod.restore_memory(st.memory, arrays)
+                st.last_train_t = float(meta["second"])
+
         # initial deploy: the full raw snapshot (the emulation's t=0
-        # frozen graph; raw because the client must consume deltas)
+        # frozen graph, or the resumed session state; raw because the
+        # client must consume deltas)
         send_msg(conn, b"M", _npz_bytes(**st.network.get_vars()))
 
         while True:
@@ -230,6 +252,14 @@ class LiveServer:
             except (BrokenPipeError, ConnectionResetError):
                 break  # client hung up mid-round: normal end of stream
             self.rounds_served += 1
+            if prefix is not None:
+                from ams_tpu.runtime import resume as resume_mod
+                resume_mod.save_state(
+                    prefix, network=st.network, memory=st.memory,
+                    second=int(st.last_train_t), send_rate=0.0,
+                    sample_per_period=[], up_bw=[], down_bw=[],
+                    model_save_times=[], save_range=[], trained_seconds=[],
+                    update_count=self.rounds_served)
         self.final_vars[client_id] = st.network.get_vars()
         st.network.close_model()
 

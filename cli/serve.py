@@ -31,6 +31,9 @@ def main(argv=None):
                    help="edge streams served concurrently (rounds run "
                         "serially on the device; a v5e-1 sustains ~3 "
                         "reference-cadence streams)")
+    p.add_argument("--resume_dir", default="",
+                   help="persist per-client session bundles; a restarted "
+                        "server resumes reconnecting client_ids")
     a = p.parse_args(argv)
 
     from ams_tpu.runtime.labeler import make_teacher_labeler
@@ -52,7 +55,8 @@ def main(argv=None):
         return fn(frames)
 
     server = LiveServer(labeler, host=a.host, port=a.port,
-                        max_clients=a.max_clients)
+                        max_clients=a.max_clients,
+                        resume_dir=a.resume_dir or None)
     print("ams live server on %s:%d (max_clients=%d)"
           % (server.address[0], server.address[1], a.max_clients),
           flush=True)

@@ -80,6 +80,52 @@ def test_live_streaming_loop():
     assert server.rounds_served == deltas
 
 
+def test_live_server_resume(tmp_path):
+    """A restarted server (same resume_dir) hands a reconnecting client_id
+    its preserved session: post-round weights, frame memory, training
+    clock — the live analog of the emulation's mid-run resume."""
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8)
+    hello = dict(exp_num=90, height=32, strategy="full_model", iters=2,
+                 batch_size=2, train_period=1, checkpoint="synthetic",
+                 client_id="edgeR")
+
+    s1 = LiveServer(_stub_labeler, resume_dir=str(tmp_path))
+    s1.serve_in_background()
+    c1 = LiveClient(s1.address, **hello)
+    fresh = {k: v.copy() for k, v in c1.network.get_vars().items()}
+    c1.send_samples(frames, 0.0)
+    assert c1.poll_deltas(timeout=120.0) == 1
+    after_round = {k: v.copy() for k, v in c1.network.get_vars().items()}
+    c1.close()
+    s1.join(timeout=60.0)
+
+    # "restart": a brand-new server process state, same resume_dir
+    s2 = LiveServer(_stub_labeler, resume_dir=str(tmp_path))
+    s2.serve_in_background()
+    c2 = LiveClient(s2.address, **hello)
+    resumed = c2.network.get_vars()
+    # the initial deployment IS the preserved post-round state, not a
+    # fresh init (delta values were fp16 on the wire; the bundle is f32;
+    # params with exactly-zero grads — e.g. image_pooling's 2-element BN —
+    # legitimately stay at init, so gate on the ones that moved)
+    changed = 0
+    for k, v in resumed.items():
+        if "moving_" in k:
+            continue
+        if not np.array_equal(v, fresh[k]):
+            np.testing.assert_allclose(v, after_round[k], rtol=2e-3,
+                                       atol=2e-3)
+            changed += 1
+    assert changed > 0
+    # and training continues from the preserved clock/memory: a batch at
+    # t=1 (one train_period later) triggers the next round immediately
+    c2.send_samples(frames, 1.0)
+    assert c2.poll_deltas(timeout=120.0) == 1
+    c2.close()
+    s2.join(timeout=60.0)
+
+
 def test_live_multi_client():
     """Two edge streams served by one process: independent students,
     rounds serialized on the device lock, per-client deltas."""
