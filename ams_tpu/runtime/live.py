@@ -14,6 +14,9 @@ Protocol (TCP, length-prefixed):
     [1-byte type][8-byte big-endian length][payload]
 
     'H'  client->server  JSON hello: exp_num/height/iters/strategy/...
+    'R'  server->client  JSON resume notice {"resume_t": s} — sent before
+                         'M' when the server restored this client_id's
+                         session bundle; the edge fast-forwards its stream
     'M'  server->client  initial model snapshot (npz, raw params)
     'F'  client->server  frame batch (npz: frames uint8 (N,H,W,3), t float)
     'V'  client->server  H.264-compressed frame batch (npz: blob, t) — the
@@ -48,6 +51,23 @@ from ams_tpu.runtime.network import SemanticNetwork
 from ams_tpu.stream.codec import delta_order, encode_delta
 
 _HDR = struct.Struct(">cQ")
+
+_WIRE_DTYPES = ("float16", "int8")
+_CLIENT_ID_RE = __import__("re").compile(r"[A-Za-z0-9._-]+\Z")
+
+
+def _hello_error(hello: Dict) -> Optional[str]:
+    """Reject malformed hellos BEFORE any device work (and before a bad
+    value could crash a round mid-flight or escape the resume_dir)."""
+    wd = hello.get("wire_dtype", "float16")
+    if wd not in _WIRE_DTYPES:
+        return "unknown wire_dtype %r (expected one of %s)" % (
+            wd, list(_WIRE_DTYPES))
+    cid = hello.get("client_id")
+    if cid is not None and not _CLIENT_ID_RE.match(str(cid)):
+        return ("client_id %r is not filesystem-safe "
+                "(allowed: letters, digits, . _ -)" % (cid,))
+    return None
 
 
 def send_msg(sock: socket.socket, mtype: bytes, payload: bytes) -> None:
@@ -111,6 +131,7 @@ class _ClientState:
         self.memory = FrameMemory(hello.get("memory_capacity", 256),
                                   height, 2 * height)
         self.last_train_t = -1e9
+        self.rounds = 0  # this client's round count (not the server's)
 
 
 class LiveServer:
@@ -170,6 +191,14 @@ class LiveServer:
                         conn.close()
                         continue
                     hello = json.loads(payload.decode())
+                    err = _hello_error(hello)
+                    if err is not None:
+                        try:
+                            send_msg(conn, b"Q", err.encode())
+                        except OSError:
+                            pass
+                        conn.close()
+                        continue
                 except (OSError, ValueError):
                     conn.close()
                     continue
@@ -199,9 +228,14 @@ class LiveServer:
 
     def _handle(self, conn: socket.socket, hello: Dict) -> None:
         st = _ClientState(hello)
-        client_id = st.hello.get("client_id", id(st))
+        # persistence is keyed on an EXPLICIT client_id only: keying
+        # anonymous clients on id(st) would let CPython address reuse hand
+        # one client another's session bundle
+        client_id = st.hello.get("client_id")
 
-        prefix = self._resume_prefix(client_id)
+        prefix = self._resume_prefix(client_id) if client_id is not None \
+            else None
+        resumed_t = None
         if prefix is not None:
             from ams_tpu.runtime import resume as resume_mod
             bundle = resume_mod.load_state(prefix)
@@ -210,6 +244,14 @@ class LiveServer:
                 resume_mod.restore_network(st.network, arrays)
                 resume_mod.restore_memory(st.memory, arrays)
                 st.last_train_t = float(meta["second"])
+                st.rounds = int(meta.get("update_count", 0))
+                resumed_t = st.last_train_t
+        if resumed_t is not None:
+            # tell the edge where its session left off so it can
+            # fast-forward the stream (the emulation's analog seeks the
+            # reader to the saved second, runtime/server.py resume path)
+            send_msg(conn, b"R",
+                     json.dumps({"resume_t": resumed_t}).encode())
 
         # initial deploy: the full raw snapshot (the emulation's t=0
         # frozen graph, or the resumed session state; raw because the
@@ -252,6 +294,7 @@ class LiveServer:
             except (BrokenPipeError, ConnectionResetError):
                 break  # client hung up mid-round: normal end of stream
             self.rounds_served += 1
+            st.rounds += 1
             if prefix is not None:
                 from ams_tpu.runtime import resume as resume_mod
                 resume_mod.save_state(
@@ -259,8 +302,9 @@ class LiveServer:
                     second=int(st.last_train_t), send_rate=0.0,
                     sample_per_period=[], up_bw=[], down_bw=[],
                     model_save_times=[], save_range=[], trained_seconds=[],
-                    update_count=self.rounds_served)
-        self.final_vars[client_id] = st.network.get_vars()
+                    update_count=st.rounds)
+        self.final_vars[client_id if client_id is not None else id(st)] = \
+            st.network.get_vars()
         st.network.close_model()
 
 
@@ -278,7 +322,17 @@ class LiveClient:
         hello = dict(exp_num=exp_num, height=height, strategy=strategy,
                      wire_dtype=wire_dtype, **hello_extra)
         send_msg(self.sock, b"H", json.dumps(hello).encode())
-        mtype, payload = recv_msg(self.sock)
+        self.resume_t: Optional[float] = None  # server-restored clock
+        while True:
+            mtype, payload = recv_msg(self.sock)
+            if mtype == b"R":
+                self.resume_t = float(
+                    json.loads(payload.decode())["resume_t"])
+                continue
+            if mtype == b"Q":
+                raise ConnectionError(
+                    "server rejected hello: %s" % payload.decode())
+            break
         assert mtype == b"M", mtype
         self.network = SemanticNetwork(
             meta_dir=_npz_load(payload),
@@ -288,6 +342,7 @@ class LiveClient:
         self.deltas_applied = 0
         self.downlink_bits = 0
         self.uplink_bits = 0
+        self.delta_bits: list = []  # per-delta payload bits, in order
 
     def send_samples(self, frames: np.ndarray, t: float) -> None:
         """Uplink a (N, H, 2H, 3) uint8 RGB frame batch stamped at stream
@@ -330,6 +385,7 @@ class LiveClient:
             self.network.apply_downlink(payload, strategy=self.strategy,
                                         wire_dtype=self.wire_dtype)
             self.downlink_bits += len(payload) * 8
+            self.delta_bits.append(len(payload) * 8)
             self.deltas_applied += 1
             applied += 1
 

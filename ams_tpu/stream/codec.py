@@ -59,10 +59,14 @@ def pack_payload(masks: Sequence[np.ndarray],
     for m, v in zip(masks, values):
         v = np.asarray(v)
         assert v.shape == np.asarray(m).shape, (v.shape, np.shape(m))
-        picked = v[np.asarray(m, bool)].astype(np.float32)
+        picked = v[np.asarray(m, bool)]
         if wire_dtype == "float16":
+            # single cast from the source dtype: an f32 intermediate would
+            # double-round f64 params and change wire bytes vs the
+            # reference's direct astype(np.float16) (run.py:330)
             buf.write(picked.astype(np.float16).tobytes())
         elif wire_dtype == "int8":
+            picked = picked.astype(np.float32)
             scale = float(np.max(np.abs(picked))) / 127.0 \
                 if picked.size else 0.0
             buf.write(np.float32(scale).tobytes())

@@ -21,6 +21,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from ams_tpu.utils.platform import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -45,6 +49,10 @@ def main(argv=None):
                    help="delta value encoding: float16 = reference wire "
                         "format; int8 = per-var-quantized (~2x smaller)")
     p.add_argument("--student_checkpoint", default="synthetic")
+    p.add_argument("--client_id", default="",
+                   help="stable session id (letters/digits/._-); with a "
+                        "server --resume_dir, a reconnect after a server "
+                        "restart resumes this session where it left off")
     p.add_argument("--max_seconds", type=int, default=0,
                    help="stop after N stream seconds (0 = whole clip)")
     p.add_argument("--output_dir", default="",
@@ -61,11 +69,13 @@ def main(argv=None):
 
     host, port = a.server.rsplit(":", 1)
     exp_num = exp_configs.video_exp_num(a.input_video)
+    extra = {"client_id": a.client_id} if a.client_id else {}
     client = LiveClient(
         (host, int(port)), exp_num=exp_num, height=a.height,
         strategy=a.train_strategy, wire_dtype=a.wire_dtype, iters=a.iter,
         batch_size=a.batch_size, train_period=a.train_period, lr=a.lr,
-        coord_frac=a.coord_fraction, checkpoint=a.student_checkpoint)
+        coord_frac=a.coord_fraction, checkpoint=a.student_checkpoint,
+        **extra)
     print("connected; initial model deployed", flush=True)
 
     reader = PrefetchingVideoReader(a.input_video)
@@ -86,14 +96,36 @@ def main(argv=None):
     # fires when a sample batch arrives at t with t - last_train >= period
     expected_rounds = 0
     last_train_t = -1e9
-    # per-period bandwidth accounting, emulation-artifact compatible
+    if client.resume_t is not None:
+        # the server restored this client_id's session: fast-forward the
+        # stream to where it left off (the emulation's resume seeks the
+        # reader the same way) so the training clock stays monotonic
+        second = int(client.resume_t)
+        last_train_t = second
+        frames_done = second * fps
+        reader.seek_frame(frames_done)
+        print("resumed session at t=%ds" % second, flush=True)
+    start_frames = frames_done  # fast-forwarded frames aren't streamed
+    # per-period bandwidth accounting, emulation-artifact compatible:
+    # _fps_client.npy = samples per send period (server.py:276 semantics),
+    # _bw_downlink.npy = one exact bit count per delta (server.py:249)
     up_bw_per_period = []
     down_bw_per_update = []
     model_update_times = [0.0]
-    fps_per_second = []
+    sample_per_period = []
+    wall_fps_per_second = []
+    deltas_logged = 0
     last_uplink_bits = 0
     samples_sent = 0
     sec_t0 = time.time()
+
+    def log_new_deltas(stamp):
+        nonlocal deltas_logged
+        new = client.delta_bits[deltas_logged:]
+        down_bw_per_update.extend(new)
+        model_update_times.extend([float(stamp)] * len(new))
+        deltas_logged = len(client.delta_bits)
+        return len(new)
     try:
         while True:
             frame = reader.read()
@@ -129,29 +161,30 @@ def main(argv=None):
                             client.uplink_bits - last_uplink_bits)
                         last_uplink_bits = client.uplink_bits
                         samples_sent += len(samples)
-                before_bits = client.downlink_bits
+                        sample_per_period.append(len(samples))
                 n = client.poll_deltas()
                 if n:
-                    down_bw_per_update.append(
-                        (client.downlink_bits - before_bits) / max(n, 1))
-                    model_update_times.extend([float(second)] * n)
+                    log_new_deltas(second)
                     print("t=%ds: applied %d delta(s), downlink %.1f Kb "
                           "total" % (second, n,
                                      client.downlink_bits / 1024),
                           flush=True)
-                fps_per_second.append(fps / max(time.time() - sec_t0, 1e-9))
+                wall_fps_per_second.append(
+                    fps / max(time.time() - sec_t0, 1e-9))
                 sec_t0 = time.time()
     finally:
         reader.release()
         # apply any deltas still in flight (the server may be mid-round)
         n = client.drain(grace=150.0, expect=expected_rounds)
+        log_new_deltas(second)  # drained deltas count in the artifacts too
         if n:
             print("end of stream: applied %d late delta(s)" % n, flush=True)
         client.close()
     wall = time.time() - t0
+    n_streamed = frames_done - start_frames
     print("streamed %d frames (%.1f fps wall), %d deltas applied, "
           "uplink %.1f Kb, downlink %.1f Kb"
-          % (frames_done, frames_done / max(wall, 1e-9),
+          % (n_streamed, n_streamed / max(wall, 1e-9),
              client.deltas_applied, client.uplink_bits / 1024,
              client.downlink_bits / 1024))
     if a.output_dir:
@@ -162,7 +195,8 @@ def main(argv=None):
         np.save(base + "_bw_downlink.npy", np.asarray(down_bw_per_update))
         np.save(base + "_model_update_times.npy",
                 np.asarray(model_update_times))
-        np.save(base + "_fps_client.npy", np.asarray(fps_per_second))
+        np.save(base + "_fps_client.npy", np.asarray(sample_per_period))
+        np.save(base + "_wall_fps.npy", np.asarray(wall_fps_per_second))
         with open(base + "_update.txt", "w") as f:
             # same 5-line format the emulation writes (runtime/server.py:
             # total down bits, total up bits, updates, seconds, samples)
@@ -171,7 +205,7 @@ def main(argv=None):
                                             client.deltas_applied,
                                             second, samples_sent))
         print("artifacts: %s_{bw_uplink,bw_downlink,model_update_times,"
-              "fps_client}.npy + _update.txt" % base)
+              "fps_client,wall_fps}.npy + _update.txt" % base)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from ams_tpu.utils.platform import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
 from ams_tpu.runtime.config import RunConfig  # noqa: E402
 from ams_tpu.runtime.modes import run_experiment  # noqa: E402
 

@@ -135,3 +135,22 @@ def test_int8_wire_empty_and_zero_scale():
                         wire_dtype="int8")
     assert not m[TRAINABLE_ORDER[0]].any()
     np.testing.assert_array_equal(v[TRAINABLE_ORDER[1]], np.zeros(3))
+
+
+def test_fp16_wire_single_rounding_for_f64_params():
+    """fp16 encoding must cast straight from the source dtype: routing f64
+    through an f32 intermediate double-rounds and can flip the wire bits
+    (the reference casts directly, run.py:330)."""
+    # values chosen near f16 rounding boundaries where f64->f32 moves the
+    # input across the tie point; plus a random f64 sweep
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        np.float64([1.0009765625 + 2 ** -13 + 2 ** -30]),  # f16 tie + eps
+        rng.randn(4093) * rng.choice([1e-3, 1.0, 1e3], 4093)]).astype(
+            np.float64)
+    name = TRAINABLE_ORDER[0]
+    mask = np.ones(vals.shape, bool)
+    raw = pack_payload([mask], [vals])
+    nbits = (vals.size + 7) // 8
+    wire = np.frombuffer(raw, np.float16, offset=nbits)
+    np.testing.assert_array_equal(wire, vals.astype(np.float16))

@@ -93,6 +93,7 @@ def test_live_server_resume(tmp_path):
     s1 = LiveServer(_stub_labeler, resume_dir=str(tmp_path))
     s1.serve_in_background()
     c1 = LiveClient(s1.address, **hello)
+    assert c1.resume_t is None  # no bundle yet: fresh session
     fresh = {k: v.copy() for k, v in c1.network.get_vars().items()}
     c1.send_samples(frames, 0.0)
     assert c1.poll_deltas(timeout=120.0) == 1
@@ -104,6 +105,9 @@ def test_live_server_resume(tmp_path):
     s2 = LiveServer(_stub_labeler, resume_dir=str(tmp_path))
     s2.serve_in_background()
     c2 = LiveClient(s2.address, **hello)
+    # the server announces the restored clock ('R') so the edge CLI can
+    # fast-forward its stream to where the session left off
+    assert c2.resume_t == 0.0
     resumed = c2.network.get_vars()
     # the initial deployment IS the preserved post-round state, not a
     # fresh init (delta values were fp16 on the wire; the bundle is f32;
@@ -124,6 +128,30 @@ def test_live_server_resume(tmp_path):
     assert c2.poll_deltas(timeout=120.0) == 1
     c2.close()
     s2.join(timeout=60.0)
+
+
+def test_live_hello_rejection():
+    """Malformed hellos (bad wire_dtype, unsafe client_id) are rejected at
+    handshake time — before any labeling/training — without burning a
+    client slot or poisoning the server."""
+    server = LiveServer(_stub_labeler, max_clients=1)
+    server.serve_in_background()
+
+    for bad in (dict(wire_dtype="fp8"),
+                dict(client_id="../../etc/passwd"),
+                dict(client_id="cam/1")):
+        with pytest.raises(ConnectionError, match="rejected"):
+            LiveClient(server.address, exp_num=90, height=32,
+                       iters=1, batch_size=2, checkpoint="synthetic", **bad)
+
+    # the slot is still free: a well-formed client connects and deploys
+    client = LiveClient(server.address, exp_num=90, height=32,
+                        strategy="full_model", iters=1, batch_size=2,
+                        train_period=1, checkpoint="synthetic",
+                        client_id="ok-1.2_3")
+    assert client.network.get_vars()
+    client.close()
+    server.join(timeout=60.0)
 
 
 def test_live_multi_client():
