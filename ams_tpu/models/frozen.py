@@ -135,7 +135,8 @@ def make_predict_fn_folded(num_classes, class_indices,
 
 def student_forward_folded(folded: Params, frames, class_indices=None, *,
                            compute_dtype=jnp.bfloat16, out_hw="input",
-                           fused_blocks=False, interpret=None):
+                           fused_blocks=False, banded_min_hw=96 * 96,
+                           interpret=None):
     """Forward through the folded client model (no batch-norm ops).
 
     ``fused_blocks=True`` runs every stride-1 inverted-residual run through
@@ -143,6 +144,13 @@ def student_forward_folded(folded: Params, frames, class_indices=None, *,
     activations stay in VMEM instead of round-tripping HBM (they are ~60%
     of the unfused path's HBM traffic, which is the fast path's roofline).
     bfloat16 only; the stem and the three stride-2 blocks stay on XLA.
+
+    ``fused_blocks="banded"`` instead uses the banded-DMA kernel
+    (ops.fused_mbconv_banded) for every block — stride-2 included — whose
+    input spatial area is at least ``banded_min_hw``: exactly the
+    large-spatial stages where the mid-tensor HBM traffic lives and where
+    the whole-image kernel cannot fit VMEM.  Smaller stages stay on XLA
+    (measured compute-bound; fusion cannot pay there).
     """
     cd = compute_dtype
     b, h, w, _ = frames.shape
@@ -168,6 +176,12 @@ def student_forward_folded(folded: Params, frames, class_indices=None, *,
             FusedBlock,
             run_fused_stage,
             stage_fits_vmem,
+        )
+    banded = fused_blocks == "banded"
+    if banded:
+        from ams_tpu.ops.fused_mbconv_banded import (
+            banded_supported,
+            mbconv_banded,
         )
 
     def xla_block(x, name, exp, stride, rate, residual):
@@ -200,15 +214,35 @@ def student_forward_folded(folded: Params, frames, class_indices=None, *,
         pending.clear()
         return x
 
+    def banded_ok(x, stride, rate):
+        h_in, w_in = x.shape[1], x.shape[2]
+        return (h_in * w_in >= banded_min_hw and
+                banded_supported(h_in, w_in, stride, rate))
+
+    def banded_block(x, name, exp, stride, rate, residual):
+        bl = FusedBlock(folded, name, has_expand=exp, rate=rate,
+                        residual=residual)
+        return mbconv_banded(
+            x.astype(jnp.bfloat16), bl.w_expand, bl.b_expand, bl.w_dw,
+            bl.b_dw, bl.w_proj, bl.b_proj, stride=stride,
+            residual=residual, interpret=interpret)
+
     for i, (exp, cout, stride, rate) in enumerate(_BLOCKS):
         name = "MobilenetV2/expanded_conv" + ("" if i == 0 else "_%d" % i)
+        residual = stride == 1 and cin == cout
+        if banded:
+            if banded_ok(x, stride, rate):
+                x = banded_block(x, name, exp, stride, rate, residual)
+            else:
+                x = xla_block(x, name, exp, stride, rate, residual)
+            cin = cout
+            continue
         if fused_blocks and stride == 1:
             pending.append((name, bool(exp), rate, cin == cout))
             cin = cout
             continue
         x = flush(x, pending)
-        x = xla_block(x, name, exp, stride, rate,
-                      stride == 1 and cin == cout)
+        x = xla_block(x, name, exp, stride, rate, residual)
         cin = cout
     x = flush(x, pending)
 

@@ -1,0 +1,218 @@
+"""Round-3 TPU experiments: banded-DMA fused MBConv (one run per part).
+
+The fast client is HBM-bound on the early stages' mid tensors
+(PERFORMANCE.md roofline); ops.fused_mbconv_banded keeps them in VMEM via
+per-band manual DMA and also fuses the STRIDE-2 blocks (b1's expand mid is
+the single largest tensor in the network).  Parts:
+
+  banded_compile  tiny-shape compile + value checks of every kernel
+                  variant on the real chip (catches Mosaic rejections
+                  cheaply before the big compiles)
+  banded_blocks   real-shape isolation: banded vs XLA per early block
+  banded_e2e      full folded client b128 @512^2: fused_blocks="banded"
+                  (threshold sweep) vs the unfused baseline
+
+Scalar-readback timing per PERFORMANCE.md rules.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/ams_tpu_tpu_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+from tools.measure_common import measure  # noqa: E402
+
+
+def _blk_weights(rng, cin, cmid, cout, has_expand=True):
+    import jax.numpy as jnp
+    cm = cmid if has_expand else cin
+    return dict(
+        we=jnp.asarray(rng.randn(cin, cmid) * 0.1, jnp.float32)
+        if has_expand else None,
+        be=jnp.asarray(rng.randn(1, cmid) * 0.1, jnp.float32)
+        if has_expand else None,
+        wd=jnp.asarray(rng.randn(9, cm) * 0.1, jnp.float32),
+        bd=jnp.asarray(rng.randn(1, cm) * 0.1, jnp.float32),
+        wp=jnp.asarray(rng.randn(cm, cout) * 0.1, jnp.float32),
+        bp=jnp.asarray(rng.randn(1, cout) * 0.1, jnp.float32))
+
+
+def _xla_block(x, wts, stride, residual):
+    import jax.numpy as jnp
+
+    from ams_tpu.models import layers as L
+    y = x
+    if wts["we"] is not None:
+        y = L.conv2d(y, wts["we"][None, None], compute_dtype=jnp.bfloat16)
+        y = L.relu6(y + wts["be"][0].astype(y.dtype))
+    cm = wts["wd"].shape[1]
+    y = L.depthwise_conv2d(y, wts["wd"].reshape(3, 3, cm, 1)
+                           .astype(jnp.float32)[:, :, :, :],
+                           stride=stride, compute_dtype=jnp.bfloat16)
+    y = L.relu6(y + wts["bd"][0].astype(y.dtype))
+    y = L.conv2d(y, wts["wp"][None, None], compute_dtype=jnp.bfloat16)
+    y = y + wts["bp"][0].astype(y.dtype)
+    if residual:
+        y = y + x
+    return y
+
+
+def _banded(x, wts, stride, residual, tr=8):
+    from ams_tpu.ops.fused_mbconv_banded import mbconv_banded
+    return mbconv_banded(x, wts["we"], wts["be"], wts["wd"], wts["bd"],
+                         wts["wp"], wts["bp"], stride=stride,
+                         residual=residual, tr=tr, interpret=False)
+
+
+_VARIANTS = [
+    # name, (h, w), cin, cmid, cout, stride, residual, has_expand
+    ("s1_res", (32, 64), 24, 144, 24, 1, True, True),
+    ("s1_plain", (32, 64), 16, 96, 24, 1, False, True),
+    ("noexp", (32, 64), 32, 32, 16, 1, False, False),
+    ("s2", (32, 64), 16, 96, 24, 2, False, True),
+]
+
+
+def part_banded_compile():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    for name, (h, w), cin, cmid, cout, stride, res, exp in _VARIANTS:
+        wts = _blk_weights(rng, cin, cmid, cout, exp)
+        x = jnp.asarray(rng.randn(4, h, w, cin), jnp.bfloat16)
+        try:
+            got = np.asarray(jax.jit(
+                lambda x, wts=wts: _banded(x, wts, stride, res))(x),
+                np.float32)
+        except Exception as e:  # surface Mosaic rejections per-variant
+            print(json.dumps({"metric": "banded_compile_" + name,
+                              "error": repr(e)[:300]}), flush=True)
+            continue
+        ref = np.asarray(jax.jit(
+            lambda x, wts=wts: _xla_block(x, wts, stride, res))(x),
+            np.float32)
+        ok = bool(np.allclose(got, ref, rtol=0.05, atol=0.05))
+        print(json.dumps({"metric": "banded_compile_" + name, "ok": ok,
+                          "max_err": float(np.abs(got - ref).max())}),
+              flush=True)
+
+
+_REAL_BLOCKS = [
+    # the early stages of the 512^2 serving input
+    ("b0_noexp_256", (256, 256), 32, 32, 16, 1, False, False),
+    ("b1_s2_256", (256, 256), 16, 96, 24, 2, False, True),
+    ("b2_res_128", (128, 128), 24, 144, 24, 1, True, True),
+    ("b3_s2_128", (128, 128), 24, 144, 32, 2, False, True),
+]
+
+
+def part_banded_blocks():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    batch = 128
+    for name, (h, w), cin, cmid, cout, stride, res, exp in _REAL_BLOCKS:
+        wts = _blk_weights(rng, cin, cmid, cout, exp)
+        x = jnp.asarray(rng.randn(batch, h, w, cin), jnp.bfloat16)
+
+        bd = jax.jit(lambda x, wts=wts, s=stride, r=res:
+                     _banded(x, wts, s, r).astype(jnp.float32).sum())
+        xl = jax.jit(lambda x, wts=wts, s=stride, r=res:
+                     _xla_block(x, wts, s, r).astype(jnp.float32).sum())
+        try:
+            dt_b = measure(bd, x, iters=20)
+        except Exception as e:
+            print(json.dumps({"metric": "banded_" + name,
+                              "error": repr(e)[:300]}), flush=True)
+            continue
+        dt_x = measure(xl, x, iters=20)
+        print(json.dumps({"metric": "banded_" + name,
+                          "banded_ms": round(dt_b * 1000, 3),
+                          "xla_ms": round(dt_x * 1000, 3),
+                          "speedup": round(dt_x / dt_b, 2)}), flush=True)
+
+
+def part_banded_e2e():
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.models.frozen import (
+        fold_student,
+        student_predict_fast_folded,
+    )
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    params["logits/semantic/weights"] = (
+        params["logits/semantic/weights"] * 300.0)
+    folded = fold_student(params)
+    ci = tuple(range(19))
+    batch = 128
+    frames = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (batch, 512, 512, 3)),
+        jnp.uint8)
+
+    @jax.jit
+    def baseline(p, f):
+        return student_predict_fast_folded(p, f.astype(jnp.float32),
+                                           ci).sum()
+
+    def banded_fn(min_hw):
+        from ams_tpu.models.frozen import student_forward_folded
+        from ams_tpu.ops.fused_resize_argmax import fused_resize_argmax
+
+        @jax.jit
+        def fn(p, f):
+            ff = f.astype(jnp.float32)
+            grid = student_forward_folded(p, ff, class_indices=ci,
+                                          out_hw=None,
+                                          fused_blocks="banded",
+                                          banded_min_hw=min_hw)
+            return fused_resize_argmax(grid.astype(jnp.float32),
+                                       (512, 512)).sum()
+        return fn
+
+    # argmax agreement gate on a small slice first
+    small = frames[:8]
+    base_pred = np.asarray(jax.jit(
+        lambda p, f: student_predict_fast_folded(
+            p, f.astype(jnp.float32), ci))(folded, small))
+    got_pred = np.asarray(jax.jit(
+        lambda p, f: student_predict_fast_folded(
+            p, f.astype(jnp.float32), ci,
+            fused_blocks="banded"))(folded, small))
+    agree = float((base_pred == got_pred).mean())
+    print(json.dumps({"metric": "banded_e2e_argmax_agree",
+                      "value": round(agree, 5)}), flush=True)
+
+    dt = measure(baseline, folded, frames, iters=10)
+    print(json.dumps({"metric": "fast_folded_fps_512_b128_ref",
+                      "value": round(batch / dt, 1)}), flush=True)
+    for min_hw, tag in ((96 * 96, "96"), (64 * 64, "64")):
+        try:
+            dt = measure(banded_fn(min_hw), folded, frames, iters=10)
+        except Exception as e:
+            print(json.dumps({"metric": "banded_e2e_fps_min%s" % tag,
+                              "error": repr(e)[:300]}), flush=True)
+            continue
+        print(json.dumps({"metric": "banded_e2e_fps_min%s" % tag,
+                          "value": round(batch / dt, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--part", choices=["banded_compile", "banded_blocks",
+                                       "banded_e2e"],
+                    default="banded_compile")
+    a = ap.parse_args()
+    globals()["part_" + a.part]()
