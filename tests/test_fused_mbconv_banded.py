@@ -69,6 +69,7 @@ def test_banded_parity(h, w, cin, cmid, cout, stride, residual, has_expand,
                                rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
 def test_folded_forward_banded_matches_unfused():
     """student_forward_folded(fused_blocks="banded") == the XLA folded
     path; a low banded_min_hw routes the stem-adjacent stride-1 AND

@@ -142,6 +142,39 @@ def part_banded_blocks():
                           "speedup": round(dt_x / dt_b, 2)}), flush=True)
 
 
+def part_banded_tr():
+    """Band-height sweep: is the tr=8 slowdown per-grid-step overhead?"""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    batch = 128
+    sweep = [
+        ("b2_res_128", (128, 128), 24, 144, 24, 1, True, True, (16, 32)),
+        ("b1_s2_256", (256, 256), 16, 96, 24, 2, False, True, (16, 32)),
+        ("b3_s2_128", (128, 128), 24, 144, 32, 2, False, True, (16, 32)),
+        ("b0_noexp_256", (256, 256), 32, 32, 16, 1, False, False, (32,)),
+    ]
+    for name, (h, w), cin, cmid, cout, stride, res, exp, trs in sweep:
+        if ONLY and ONLY not in name:
+            continue
+        wts = _blk_weights(rng, cin, cmid, cout, exp)
+        x = jnp.asarray(rng.randn(batch, h, w, cin), jnp.bfloat16)
+        for tr in trs:
+            bd = jax.jit(lambda x, wts=wts, s=stride, r=res, tr=tr:
+                         _banded(x, wts, s, r, tr=tr)
+                         .astype(jnp.float32).sum())
+            try:
+                dt_b = measure(bd, x, iters=20)
+            except Exception as e:
+                print(json.dumps({"metric": "banded_%s_tr%d" % (name, tr),
+                                  "error": repr(e)[:300]}), flush=True)
+                continue
+            print(json.dumps({"metric": "banded_%s_tr%d" % (name, tr),
+                              "banded_ms": round(dt_b * 1000, 3)}),
+                  flush=True)
+
+
 def part_banded_e2e():
     import jax
     import jax.numpy as jnp
@@ -212,7 +245,10 @@ def part_banded_e2e():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", choices=["banded_compile", "banded_blocks",
-                                       "banded_e2e"],
+                                       "banded_tr", "banded_e2e"],
                     default="banded_compile")
+    ap.add_argument("--only", default="",
+                    help="substring filter for sweep entries")
     a = ap.parse_args()
+    ONLY = a.only
     globals()["part_" + a.part]()
