@@ -94,7 +94,6 @@ def _s1_kernel(prev_ref, cur_ref, next_ref, we_ref, be_ref, wd_ref, bd_ref,
         mid = mid.astype(jnp.bfloat16)
     else:
         mid = jnp.where(ok, window, 0).astype(jnp.bfloat16)
-    cmid = mid.shape[-1]
 
     acc = None
     for ky in range(3):
@@ -102,7 +101,6 @@ def _s1_kernel(prev_ref, cur_ref, next_ref, we_ref, be_ref, wd_ref, bd_ref,
             tap = mid[ky:ky + tr, kx:kx + w, :]
             term = tap.astype(jnp.float32) * wd_ref[ky * 3 + kx, :]
             acc = term if acc is None else acc + term
-    del cmid
     y = _relu6(acc + bd_ref[...]).astype(jnp.bfloat16)
     out = jax.lax.dot_general(y, wp_ref[...], (((2,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -189,15 +187,18 @@ def _s2_kernel(cur_ref, next_ref, we_ref, be_ref, wd_ref, bd_ref,
 
 
 def banded_supported(h, w, stride, rate=1) -> bool:
-    """Static eligibility: the geometry this kernel can band."""
+    """Static eligibility: the geometry this kernel can band.
+
+    Stride 1 bands any geometry (partial edge bands are masked); the
+    REAL stem-downstream grids are ODD (preprocess pads +1: a 512^2
+    input yields 257^2/129^2 stages), so no width-alignment demand may
+    survive here.  Stride 2 needs even H/W for the row-parity view —
+    the real odd stride-2 stages stay on XLA."""
     if rate != 1 or stride not in (1, 2):
-        return False
-    if w % _SUBLANE:
         return False
     if stride == 2 and (h % 2 or w % 2):
         return False
-    h_out = -(-h // stride)
-    return h_out >= 2
+    return -(-h // stride) >= 2
 
 
 def mbconv_banded(x, w_expand, b_expand, w_dw, b_dw, w_proj, b_proj, *,
@@ -217,10 +218,10 @@ def mbconv_banded(x, w_expand, b_expand, w_dw, b_dw, w_proj, b_proj, *,
     pad_lo_h, h_out = _same_pad_lo(h, stride)
     pad_lo_w, w_out = _same_pad_lo(w, stride)
     assert (pad_lo_h, pad_lo_w) == ((1, 1) if stride == 1 else (0, 0))
-    while h_out % tr:
-        tr //= 2
-    assert tr >= 1 and h_out % tr == 0, (h_out, tr)
-    nb = h_out // tr
+    # ceil-banding: the last band may be partial (Pallas clips the write;
+    # the in-kernel row masks cover the padded reads)
+    tr = max(1, min(tr, h_out))
+    nb = -(-h_out // tr)
     has_expand = w_expand is not None
     cmid = w_dw.shape[1]
     cout = w_proj.shape[1]

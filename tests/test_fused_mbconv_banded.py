@@ -39,7 +39,12 @@ def _ref_block(x, we, be, wd, bd, wpr, bp, stride, residual, has_expand):
         (24, 32, 8, 8, 16, 1, False, False, 4),    # block-0 style
         (32, 48, 8, 32, 16, 2, False, True, 4),    # stride-2 (b1/b3 style)
         (64, 32, 8, 32, 16, 2, False, True, 8),    # taller stride-2
-        (40, 48, 8, 16, 8, 1, False, True, 16),    # tr reduced to divide 40
+        (40, 48, 8, 16, 8, 1, False, True, 16),    # tr capped at h_out
+        # ODD geometry — the real stem-downstream grids (preprocess pads
+        # +1: 512^2 -> 257^2/129^2); exercises partial edge bands
+        (33, 65, 8, 32, 8, 1, True, True, 8),      # real b2 analog
+        (17, 33, 8, 8, 16, 1, False, False, 4),    # real b0 analog
+        (33, 65, 8, 32, 16, 1, False, True, 16),   # partial last band
     ])
 def test_banded_parity(h, w, cin, cmid, cout, stride, residual, has_expand,
                        tr):
@@ -72,8 +77,9 @@ def test_banded_parity(h, w, cin, cmid, cout, stride, residual, has_expand,
 @pytest.mark.slow
 def test_folded_forward_banded_matches_unfused():
     """student_forward_folded(fused_blocks="banded") == the XLA folded
-    path; a low banded_min_hw routes the stem-adjacent stride-1 AND
-    stride-2 blocks through the banded kernel."""
+    path at REAL geometry (the stem grid is odd: preprocess pads +1), and
+    the banded kernel actually fires — the stride-1 blocks band; the odd
+    stride-2 blocks stay on XLA by design."""
     from ams_tpu.models.frozen import fold_student, student_forward_folded
     from ams_tpu.models.mobilenetv2_deeplab import init_student_params
 
@@ -82,16 +88,22 @@ def test_folded_forward_banded_matches_unfused():
         params["logits/semantic/weights"] * 300.0)
     folded = fold_student(params)
     rng = np.random.RandomState(0)
-    # even spatial sizes: the serving path (stride-2 banding wants them)
     frames = jnp.asarray(rng.randint(0, 256, (1, 64, 128, 3)), jnp.float32)
     ci = tuple(range(19))
+
+    def banded(p, f):
+        return student_forward_folded(p, f, ci, out_hw=None,
+                                      fused_blocks="banded",
+                                      banded_min_hw=8 * 8, interpret=True)
+
+    # non-vacuous: the banded program must actually contain fused blocks
+    jaxpr = str(jax.make_jaxpr(banded)(folded, frames))
+    n_banded = jaxpr.count("pallas_call")
+    assert n_banded >= 4, "banded path never fired (%d)" % n_banded
+
     ref = np.asarray(student_forward_folded(folded, frames, ci, out_hw=None),
                      np.float32)
-    got = np.asarray(
-        student_forward_folded(folded, frames, ci, out_hw=None,
-                               fused_blocks="banded", banded_min_hw=8 * 8,
-                               interpret=True),
-        np.float32)
+    got = np.asarray(banded(folded, frames), np.float32)
     assert ref.shape == got.shape
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / scale < 0.05

@@ -1,9 +1,15 @@
 """Round-3 TPU experiments: banded-DMA fused MBConv (one run per part).
 
 The fast client is HBM-bound on the early stages' mid tensors
-(PERFORMANCE.md roofline); ops.fused_mbconv_banded keeps them in VMEM via
-per-band manual DMA and also fuses the STRIDE-2 blocks (b1's expand mid is
-the single largest tensor in the network).  Parts:
+(PERFORMANCE.md roofline); ops.fused_mbconv_banded keeps them in VMEM by
+riding the Pallas block pipeline over row bands (manual DMA is rejected
+by Mosaic for lane-unaligned arrays) and also fuses STRIDE-2 blocks via
+parity planes (b1's expand mid is the single largest tensor in the
+network).  NOTE the real stem-downstream grids are ODD (preprocess pads
++1: 512^2 input -> 257^2/129^2 stages): stride-1 entries below use the
+real odd shapes; stride-2 entries are even-geometry PROXIES (the kernel
+requires even H/W for the parity view, so the real odd stride-2 stages
+stay on XLA).  Parts:
 
   banded_compile  tiny-shape compile + value checks of every kernel
                   variant on the real chip (catches Mosaic rejections
@@ -21,6 +27,8 @@ import os
 import sys
 
 import numpy as np
+
+ONLY = ""  # optional substring filter, set from --only in __main__
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -107,11 +115,13 @@ def part_banded_compile():
 
 
 _REAL_BLOCKS = [
-    # the early stages of the 512^2 serving input
-    ("b0_noexp_256", (256, 256), 32, 32, 16, 1, False, False),
-    ("b1_s2_256", (256, 256), 16, 96, 24, 2, False, True),
-    ("b2_res_128", (128, 128), 24, 144, 24, 1, True, True),
-    ("b3_s2_128", (128, 128), 24, 144, 32, 2, False, True),
+    # early stages of the 512^2 serving input.  Stride-1 shapes are the
+    # REAL (odd) grids; the _s2 entries are even-geometry proxies (see
+    # module docstring)
+    ("b0_noexp_257", (257, 257), 32, 32, 16, 1, False, False),
+    ("b1_s2_256proxy", (256, 256), 16, 96, 24, 2, False, True),
+    ("b2_res_129", (129, 129), 24, 144, 24, 1, True, True),
+    ("b3_s2_128proxy", (128, 128), 24, 144, 32, 2, False, True),
 ]
 
 
@@ -122,6 +132,8 @@ def part_banded_blocks():
     rng = np.random.RandomState(0)
     batch = 128
     for name, (h, w), cin, cmid, cout, stride, res, exp in _REAL_BLOCKS:
+        if ONLY and ONLY not in name:
+            continue
         wts = _blk_weights(rng, cin, cmid, cout, exp)
         x = jnp.asarray(rng.randn(batch, h, w, cin), jnp.bfloat16)
 
@@ -173,6 +185,54 @@ def part_banded_tr():
             print(json.dumps({"metric": "banded_%s_tr%d" % (name, tr),
                               "banded_ms": round(dt_b * 1000, 3)}),
                   flush=True)
+
+
+def part_step_decomp():
+    """Training-step decomposition (b10 @256x512 bf16, the round's step):
+    where do the 16.9 ms fwd+bwd go?  Pieces: grid fwd train/infer (BN
+    batch-stats cost), + loss (resize/CE cost), model bwd alone, full
+    grad."""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.distill.loss import distill_loss
+    from ams_tpu.models.mobilenetv2_deeplab import (
+        init_student_params,
+        student_grid_logits,
+    )
+
+    params = init_student_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (10, 256, 512, 3)), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 19, (10, 256, 512)))
+    ci = jnp.arange(19)
+
+    def grid_fwd(p, train):
+        return student_grid_logits(p, frames, train=train,
+                                   compute_dtype=jnp.bfloat16
+                                   ).astype(jnp.float32).sum()
+
+    def loss_fwd(p):
+        l, _ = distill_loss(p, frames, labels, ci, 19, train=True,
+                            compute_dtype=jnp.bfloat16, resize_via="matmul")
+        return l
+
+    probes = [
+        ("grid_fwd_infer", jax.jit(lambda p: grid_fwd(p, False))),
+        ("grid_fwd_train", jax.jit(lambda p: grid_fwd(p, True))),
+        ("loss_fwd", jax.jit(loss_fwd)),
+        ("grid_bwd", jax.jit(lambda p: jax.grad(
+            lambda q: grid_fwd(q, True))(p)
+            ["logits/semantic/weights"].sum())),
+        ("loss_bwd", jax.jit(lambda p: jax.grad(loss_fwd)(p)
+                             ["logits/semantic/weights"].sum())),
+    ]
+    for name, fn in probes:
+        if ONLY and ONLY not in name:
+            continue
+        dt = measure(fn, params, iters=20)
+        print(json.dumps({"metric": "step_decomp_" + name,
+                          "ms": round(dt * 1000, 2)}), flush=True)
 
 
 def part_banded_e2e():
@@ -245,7 +305,8 @@ def part_banded_e2e():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", choices=["banded_compile", "banded_blocks",
-                                       "banded_tr", "banded_e2e"],
+                                       "banded_tr", "banded_e2e",
+                                       "step_decomp"],
                     default="banded_compile")
     ap.add_argument("--only", default="",
                     help="substring filter for sweep entries")
