@@ -77,10 +77,15 @@ def _s1_kernel(prev_ref, cur_ref, next_ref, we_ref, be_ref, wd_ref, bd_ref,
     first row, zero-padded one column each side ('SAME')."""
     k = pl.program_id(1)
     win = tr + 2
+    # interior widths are padded to the sublane tile: Mosaic cannot merge
+    # an odd middle dim when lowering the 3D dot (reshape (win, 67, C) ->
+    # (win*67, C) is an unsupported shape cast; 272 merges fine)
+    w_y = _round_up(w, _SUBLANE)   # tap width (cols >= w are masked zero)
+    wp_i = w_y + _SUBLANE          # window width: taps need kx + w_y
     window = jnp.concatenate(
         [prev_ref[0, tr - 1:tr], cur_ref[0], next_ref[0, 0:1]], axis=0)
-    window = jnp.pad(window, ((0, 0), (1, 1), (0, 0)))
-    ok = _row_mask(win, w + 2, k * tr - 1, h)
+    window = jnp.pad(window, ((0, 0), (1, wp_i - w - 1), (0, 0)))
+    ok = _row_mask(win, wp_i, k * tr - 1, h)
     # pad cols are zero by construction; halo rows may be clamped garbage
     if has_expand:
         mid = jax.lax.dot_general(
@@ -89,7 +94,7 @@ def _s1_kernel(prev_ref, cur_ref, next_ref, we_ref, be_ref, wd_ref, bd_ref,
         mid = _relu6(mid + be_ref[...])
         # folded biases make pad positions relu6(bias) != 0; the
         # depthwise taps must see zeros there
-        colv = jax.lax.broadcasted_iota(jnp.int32, (win, w + 2, 1), 1)
+        colv = jax.lax.broadcasted_iota(jnp.int32, (win, wp_i, 1), 1)
         mid = jnp.where(ok & (colv >= 1) & (colv < w + 1), mid, 0.0)
         mid = mid.astype(jnp.bfloat16)
     else:
@@ -98,13 +103,13 @@ def _s1_kernel(prev_ref, cur_ref, next_ref, we_ref, be_ref, wd_ref, bd_ref,
     acc = None
     for ky in range(3):
         for kx in range(3):
-            tap = mid[ky:ky + tr, kx:kx + w, :]
+            tap = mid[ky:ky + tr, kx:kx + w_y, :]
             term = tap.astype(jnp.float32) * wd_ref[ky * 3 + kx, :]
             acc = term if acc is None else acc + term
     y = _relu6(acc + bd_ref[...]).astype(jnp.bfloat16)
     out = jax.lax.dot_general(y, wp_ref[...], (((2,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    out = out + bp_ref[...]
+    out = out[:, :w, :] + bp_ref[...]
     if residual:
         out = out + cur_ref[0].astype(jnp.float32)
     out_ref[0] = out.astype(out_dtype)
@@ -180,9 +185,11 @@ def _s2_kernel(cur_ref, next_ref, we_ref, be_ref, wd_ref, bd_ref,
         term = tap.astype(jnp.float32) * wd_ref[ky * 3 + kx, :]
         acc = term if acc is None else acc + term
     y = _relu6(acc + bd_ref[...]).astype(jnp.bfloat16)
+    # pad the width to the sublane tile for the 3D dot (see _s1_kernel)
+    y = jnp.pad(y, ((0, 0), (0, _round_up(wo, _SUBLANE) - wo), (0, 0)))
     out = jax.lax.dot_general(y, wp_ref[...], (((2,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    out = out + bp_ref[...]
+    out = out[:, :wo, :] + bp_ref[...]
     out_ref[0] = out.astype(out_dtype)
 
 

@@ -217,15 +217,18 @@ def part_step_decomp():
                             compute_dtype=jnp.bfloat16, resize_via="matmul")
         return l
 
+    def all_grads(g):
+        # reduce over EVERY leaf: picking one grad inside the jit lets
+        # XLA dead-code-eliminate the rest of the backward
+        return sum(x.astype(jnp.float32).sum() for x in g.values())
+
     probes = [
         ("grid_fwd_infer", jax.jit(lambda p: grid_fwd(p, False))),
         ("grid_fwd_train", jax.jit(lambda p: grid_fwd(p, True))),
         ("loss_fwd", jax.jit(loss_fwd)),
-        ("grid_bwd", jax.jit(lambda p: jax.grad(
-            lambda q: grid_fwd(q, True))(p)
-            ["logits/semantic/weights"].sum())),
-        ("loss_bwd", jax.jit(lambda p: jax.grad(loss_fwd)(p)
-                             ["logits/semantic/weights"].sum())),
+        ("grid_bwd", jax.jit(lambda p: all_grads(jax.grad(
+            lambda q: grid_fwd(q, True))(p)))),
+        ("loss_bwd", jax.jit(lambda p: all_grads(jax.grad(loss_fwd)(p)))),
     ]
     for name, fn in probes:
         if ONLY and ONLY not in name:
@@ -233,6 +236,59 @@ def part_step_decomp():
         dt = measure(fn, params, iters=20)
         print(json.dumps({"metric": "step_decomp_" + name,
                           "ms": round(dt * 1000, 2)}), flush=True)
+
+
+def part_int8_probe():
+    """Does int8 pay on this chip?  The fast client is HBM-bound; int8
+    activations halve the traffic (and the MXU runs s8xs8->s32 at 2x
+    bf16).  Probe the two op classes of the student at a representative
+    early-stage shape before building a quantized path."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    b, h, w = 128, 129, 129
+    cin, cmid = 24, 144
+    xf = jnp.asarray(rng.randn(b, h, w, cin), jnp.bfloat16)
+    x8 = jnp.asarray(rng.randint(-127, 128, (b, h, w, cin)), jnp.int8)
+    wf = jnp.asarray(rng.randn(1, 1, cin, cmid) * 0.1, jnp.bfloat16)
+    w8 = jnp.asarray(rng.randint(-127, 128, (1, 1, cin, cmid)), jnp.int8)
+    # depthwise rhs is HWIO with I = lhs_C / groups = 1: (3, 3, 1, cmid)
+    df = jnp.asarray(rng.randn(3, 3, 1, cmid) * 0.1, jnp.bfloat16)
+    d8 = jnp.asarray(rng.randint(-127, 128, (3, 3, 1, cmid)), jnp.int8)
+    mf = jnp.asarray(rng.randn(b, h, w, cmid), jnp.bfloat16)
+    m8 = jnp.asarray(rng.randint(-127, 128, (b, h, w, cmid)), jnp.int8)
+
+    def conv(x, w, feat_count=1, prefer=None):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn,
+            feature_group_count=feat_count,
+            preferred_element_type=prefer)
+
+    cases = [
+        ("expand_bf16", lambda: conv(xf, wf).astype(jnp.float32).sum()),
+        ("expand_int8", lambda: conv(x8, w8, prefer=jnp.int32)
+         .astype(jnp.float32).sum()),
+        ("dw_bf16", lambda: conv(mf, df, feat_count=cmid)
+         .astype(jnp.float32).sum()),
+        ("dw_int8", lambda: conv(m8, d8, feat_count=cmid,
+                                 prefer=jnp.int32)
+         .astype(jnp.float32).sum()),
+    ]
+    for name, fn in cases:
+        if ONLY and ONLY not in name:
+            continue
+        try:
+            jfn = jax.jit(fn)
+            dt = measure(jfn, iters=20)
+        except Exception as e:
+            print(json.dumps({"metric": "int8_probe_" + name,
+                              "error": repr(e)[:300]}), flush=True)
+            continue
+        print(json.dumps({"metric": "int8_probe_" + name,
+                          "ms": round(dt * 1000, 3)}), flush=True)
 
 
 def part_banded_e2e():
@@ -306,7 +362,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", choices=["banded_compile", "banded_blocks",
                                        "banded_tr", "banded_e2e",
-                                       "step_decomp"],
+                                       "step_decomp", "int8_probe"],
                     default="banded_compile")
     ap.add_argument("--only", default="",
                     help="substring filter for sweep entries")
