@@ -203,7 +203,10 @@ def banded_supported(h, w, stride, rate=1) -> bool:
     the real odd stride-2 stages stay on XLA."""
     if rate != 1 or stride not in (1, 2):
         return False
-    if stride == 2 and (h % 2 or w % 2):
+    if stride == 2 and (h % 2 or w % _SUBLANE):
+        # stride 2 stays gated to aligned widths: only such shapes have
+        # been compile-checked on the chip (the real odd stride-2 stages
+        # never band anyway)
         return False
     return -(-h // stride) >= 2
 

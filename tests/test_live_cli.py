@@ -9,6 +9,7 @@ _update.txt cross-sums).
 """
 
 import os
+import socket
 import subprocess
 import sys
 import time
@@ -31,6 +32,23 @@ def _env():
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
         "~/.cache/ams_tpu_jax_cache")
     return env
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _wait_listening(port, deadline=120.0):
+    t0 = time.time()
+    while time.time() - t0 < deadline:
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=1.0).close()
+            return
+        except OSError:
+            time.sleep(0.2)
+    raise TimeoutError("server never started listening on %d" % port)
 
 
 def _serve(port, resume_dir):
@@ -60,11 +78,11 @@ def test_live_cli_session_and_resume(tmp_path):
     write_synthetic_clip(video, seconds=14, fps=10, size_hw=(64, 128))
     resume_dir = str(tmp_path / "resume")
     art = str(tmp_path / "art")
-    port = 19741
+    port = _free_port()
 
     srv = _serve(port, resume_dir)
     try:
-        time.sleep(2.0)
+        _wait_listening(port)
         r1 = _edge(port, video, art, max_seconds=7)
         assert r1.returncode == 0, r1.stdout + r1.stderr
         assert "deltas applied" in r1.stdout
@@ -91,10 +109,11 @@ def test_live_cli_session_and_resume(tmp_path):
 
     # restart: a fresh server process on the same resume_dir hands the
     # reconnecting client_id its session; the edge fast-forwards
-    srv2 = _serve(port + 1, resume_dir)
+    port2 = _free_port()
+    srv2 = _serve(port2, resume_dir)
     try:
-        time.sleep(2.0)
-        r2 = _edge(port + 1, video, str(tmp_path / "art2"), max_seconds=12)
+        _wait_listening(port2)
+        r2 = _edge(port2, video, str(tmp_path / "art2"), max_seconds=12)
         assert r2.returncode == 0, r2.stdout + r2.stderr
         assert "resumed session at t=" in r2.stdout, r2.stdout
         srv2_out, _ = srv2.communicate(timeout=60)

@@ -53,14 +53,18 @@ def main(argv=None):
     if fmt is None:
         fmt = "npy" if a.dst.endswith(".npy") else (
             "npz" if a.dst.endswith(".npz") else "orbax")
+    dst = a.dst
     if fmt == "orbax":
-        ckpt.save_orbax(a.dst, params)
+        ckpt.save_orbax(dst, params)
     elif fmt == "npy":
-        ckpt.save_params(a.dst if a.dst.endswith(".npy") else a.dst + ".npy",
-                         params)
+        if not dst.endswith(".npy"):
+            dst += ".npy"
+        ckpt.save_params(dst, params)
     else:
-        np.savez(a.dst, **{k: np.asarray(v) for k, v in params.items()})
-    print("wrote %s (%s)" % (a.dst, fmt))
+        if not dst.endswith(".npz"):
+            dst += ".npz"
+        np.savez(dst, **{k: np.asarray(v) for k, v in params.items()})
+    print("wrote %s (%s)" % (dst, fmt))
 
 
 if __name__ == "__main__":

@@ -233,7 +233,12 @@ def part_step_decomp():
     for name, fn in probes:
         if ONLY and ONLY not in name:
             continue
-        dt = measure(fn, params, iters=20)
+        try:
+            dt = measure(fn, params, iters=20)
+        except Exception as e:  # keep the batch alive per-probe
+            print(json.dumps({"metric": "step_decomp_" + name,
+                              "error": repr(e)[:300]}), flush=True)
+            continue
         print(json.dumps({"metric": "step_decomp_" + name,
                           "ms": round(dt * 1000, 2)}), flush=True)
 
