@@ -162,20 +162,32 @@ class LiveServer:
         self._device_lock = threading.Lock()  # rounds serialize on the chip
         self.rounds_served = 0
         self.final_vars: Dict = {}  # last-round params per client id
-        self.error: Optional[BaseException] = None
+        self.error: Optional[BaseException] = None  # accept-loop failure
+        self.client_errors: Dict = {}  # per-client faults, isolated
 
     def serve_in_background(self) -> None:
         self._accept_thread = threading.Thread(target=self._accept_loop,
                                                daemon=True)
         self._accept_thread.start()
 
-    def join(self, timeout=None) -> None:
+    def join(self, timeout=None, raise_client_errors: bool = True) -> None:
+        """Wait for the accept loop and every client thread.
+
+        One client's fault never interrupts the others' service (threads
+        are independent and each fault is confined to its session); after
+        all threads finish, a server-level failure re-raises, and client
+        faults raise an aggregate unless ``raise_client_errors=False``
+        (inspect ``client_errors`` instead)."""
         assert self._accept_thread is not None
         self._accept_thread.join(timeout)
         for t in self._threads:
             t.join(timeout)
         if self.error is not None:
             raise self.error
+        if self.client_errors and raise_client_errors:
+            raise RuntimeError(
+                "client session(s) failed: %s" %
+                {k: repr(e) for k, e in self.client_errors.items()})
 
     def _accept_loop(self) -> None:
         try:
@@ -214,10 +226,19 @@ class LiveServer:
 
     def _client_loop(self, conn: socket.socket, hello: Dict) -> None:
         try:
-            with conn:
-                self._handle(conn, hello)
-        except BaseException as e:  # surfaced by join()
-            self.error = e
+            self._handle(conn, hello)
+        except BaseException as e:
+            # fault ISOLATION: record per client (join aggregates), tell
+            # the client why its session died (it would otherwise hang
+            # until its drain grace expires), never touch other sessions
+            cid = hello.get("client_id", "<peer fd=%d>" % conn.fileno())
+            self.client_errors[cid] = e
+            try:
+                send_msg(conn, b"Q", ("server error: %r" % e).encode())
+            except OSError:
+                pass
+        finally:
+            conn.close()
 
     def _resume_prefix(self, client_id) -> Optional[str]:
         if self.resume_dir is None:
@@ -343,6 +364,7 @@ class LiveClient:
         self.downlink_bits = 0
         self.uplink_bits = 0
         self.delta_bits: list = []  # per-delta payload bits, in order
+        self.server_error: Optional[str] = None  # from an error 'Q'
 
     def send_samples(self, frames: np.ndarray, t: float) -> None:
         """Uplink a (N, H, 2H, 3) uint8 RGB frame batch stamped at stream
@@ -379,6 +401,8 @@ class LiveClient:
             if not ready:
                 return applied
             mtype, payload = recv_msg(self.sock)
+            if mtype == b"Q" and payload:
+                self.server_error = payload.decode()  # faulted session
             if mtype in (None, b"Q"):
                 return applied
             assert mtype == b"D", mtype
@@ -412,6 +436,8 @@ class LiveClient:
             n = self.poll_deltas(
                 timeout=min(remaining, 5.0) if expect is not None else quiet)
             applied += n
+            if self.server_error is not None:
+                break  # faulted session: no more deltas will ever come
             if n == 0 and expect is None:
                 break
         return applied

@@ -201,3 +201,48 @@ def test_live_multi_client():
         np.testing.assert_allclose(
             cli["logits/semantic/weights"], srv["logits/semantic/weights"],
             rtol=2e-3, atol=2e-3)
+
+
+def test_live_client_fault_isolation():
+    """One client's mid-session fault is confined to its session: the
+    server tells IT why (error 'Q'), keeps serving the other client, and
+    join() reports the fault per client id instead of poisoning the
+    process."""
+    from ams_tpu.runtime.live import send_msg
+
+    server = LiveServer(_stub_labeler, max_clients=2)
+    server.serve_in_background()
+
+    good = LiveClient(server.address, exp_num=90, height=32,
+                      strategy="full_model", iters=2, batch_size=2,
+                      train_period=1, checkpoint="synthetic",
+                      client_id="good")
+    bad = LiveClient(server.address, exp_num=90, height=32,
+                     strategy="full_model", iters=2, batch_size=2,
+                     train_period=1, checkpoint="synthetic",
+                     client_id="bad")
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8)
+    # malformed frame batch: wrong rank blows up inside the bad session
+    import io
+
+    buf = io.BytesIO()
+    np.savez_compressed(buf, frames=np.zeros((3, 3), np.uint8),
+                        t=np.float64(0.0))
+    send_msg(bad.sock, b"F", buf.getvalue())
+    # the faulted session is told why and stops waiting immediately
+    assert bad.drain(grace=120.0, expect=1) == 0
+    assert bad.server_error is not None and "error" in bad.server_error
+
+    # the healthy session is unaffected: full round, delta applied
+    good.send_samples(frames, 0.0)
+    assert good.poll_deltas(timeout=120.0) == 1
+
+    good.close()
+    bad.close()
+    server.join(timeout=60.0, raise_client_errors=False)
+    assert list(server.client_errors) == ["bad"]
+    assert "good" in server.final_vars
+    with pytest.raises(RuntimeError, match="bad"):
+        server.join(timeout=1.0)
