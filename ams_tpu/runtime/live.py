@@ -158,6 +158,7 @@ class LiveServer:
         self._lsock = socket.create_server((host, port))
         self.address = self._lsock.getsockname()
         self._threads = []
+        self._anon_seq = iter(range(1 << 30))  # stable anonymous ids
         self._accept_thread: Optional[threading.Thread] = None
         self._device_lock = threading.Lock()  # rounds serialize on the chip
         self.rounds_served = 0
@@ -184,10 +185,15 @@ class LiveServer:
             t.join(timeout)
         if self.error is not None:
             raise self.error
-        if self.client_errors and raise_client_errors:
+        done = not self._accept_thread.is_alive() and all(
+            not t.is_alive() for t in self._threads)
+        if done and self.client_errors and raise_client_errors:
+            # chain the first underlying exception so its traceback
+            # survives into the aggregate
             raise RuntimeError(
                 "client session(s) failed: %s" %
-                {k: repr(e) for k, e in self.client_errors.items()})
+                {k: repr(e) for k, e in self.client_errors.items()}
+            ) from next(iter(self.client_errors.values()))
 
     def _accept_loop(self) -> None:
         try:
@@ -231,7 +237,9 @@ class LiveServer:
             # fault ISOLATION: record per client (join aggregates), tell
             # the client why its session died (it would otherwise hang
             # until its drain grace expires), never touch other sessions
-            cid = hello.get("client_id", "<peer fd=%d>" % conn.fileno())
+            # stable anonymous keys (fds get reused after close; a null
+            # client_id must not become a None key)
+            cid = hello.get("client_id") or "<anon-%d>" % next(self._anon_seq)
             self.client_errors[cid] = e
             try:
                 send_msg(conn, b"Q", ("server error: %r" % e).encode())
@@ -365,6 +373,7 @@ class LiveClient:
         self.uplink_bits = 0
         self.delta_bits: list = []  # per-delta payload bits, in order
         self.server_error: Optional[str] = None  # from an error 'Q'
+        self.closed = False  # set on EOF / 'Q' from the server
 
     def send_samples(self, frames: np.ndarray, t: float) -> None:
         """Uplink a (N, H, 2H, 3) uint8 RGB frame batch stamped at stream
@@ -404,6 +413,7 @@ class LiveClient:
             if mtype == b"Q" and payload:
                 self.server_error = payload.decode()  # faulted session
             if mtype in (None, b"Q"):
+                self.closed = True
                 return applied
             assert mtype == b"D", mtype
             self.network.apply_downlink(payload, strategy=self.strategy,
@@ -436,8 +446,11 @@ class LiveClient:
             n = self.poll_deltas(
                 timeout=min(remaining, 5.0) if expect is not None else quiet)
             applied += n
-            if self.server_error is not None:
-                break  # faulted session: no more deltas will ever come
+            # EOF or fault: no more deltas will ever come, and a dead
+            # socket reads as instantly-readable — spinning on it for the
+            # rest of the grace would burn a CPU
+            if self.closed:
+                break
             if n == 0 and expect is None:
                 break
         return applied

@@ -144,16 +144,26 @@ def main(argv=None):
                     bucket = []
                     if samples:
                         arr = np.stack(samples)
-                        if a.compress_uplink:
-                            exact = client.send_samples_compressed(
-                                arr, float(second),
-                                bitrate_kbps=a.uplink_bw * a.send_period,
-                                fps=fps)
-                            if not exact:
-                                print("WARNING: mp4v fallback uplink "
-                                      "(no ffmpeg)", flush=True)
-                        else:
-                            client.send_samples(arr, float(second))
+                        try:
+                            if a.compress_uplink:
+                                exact = client.send_samples_compressed(
+                                    arr, float(second),
+                                    bitrate_kbps=a.uplink_bw * a.send_period,
+                                    fps=fps)
+                                if not exact:
+                                    print("WARNING: mp4v fallback uplink "
+                                          "(no ffmpeg)", flush=True)
+                            else:
+                                client.send_samples(arr, float(second))
+                        except (BrokenPipeError, ConnectionResetError):
+                            # faulted/closed session: the reason (if any)
+                            # arrives as an error 'Q' on the next poll
+                            client.poll_deltas()
+                            print("uplink closed by the server%s" %
+                                  (": %s" % client.server_error
+                                   if client.server_error else ""),
+                                  flush=True)
+                            break
                         if second - last_train_t >= a.train_period:
                             expected_rounds += 1
                             last_train_t = second
@@ -169,6 +179,13 @@ def main(argv=None):
                           "total" % (second, n,
                                      client.downlink_bits / 1024),
                           flush=True)
+                if client.closed:
+                    # session ended server-side: report why (fault) or
+                    # that the link dropped, keep the artifacts
+                    print("server closed the session%s" %
+                          (": %s" % client.server_error
+                           if client.server_error else ""), flush=True)
+                    break
                 wall_fps_per_second.append(
                     fps / max(time.time() - sec_t0, 1e-9))
                 sec_t0 = time.time()

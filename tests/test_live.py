@@ -208,7 +208,7 @@ def test_live_client_fault_isolation():
     server tells IT why (error 'Q'), keeps serving the other client, and
     join() reports the fault per client id instead of poisoning the
     process."""
-    from ams_tpu.runtime.live import send_msg
+    from ams_tpu.runtime.live import _npz_bytes, send_msg
 
     server = LiveServer(_stub_labeler, max_clients=2)
     server.serve_in_background()
@@ -225,15 +225,16 @@ def test_live_client_fault_isolation():
     rng = np.random.RandomState(5)
     frames = rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8)
     # malformed frame batch: wrong rank blows up inside the bad session
-    import io
-
-    buf = io.BytesIO()
-    np.savez_compressed(buf, frames=np.zeros((3, 3), np.uint8),
-                        t=np.float64(0.0))
-    send_msg(bad.sock, b"F", buf.getvalue())
-    # the faulted session is told why and stops waiting immediately
+    send_msg(bad.sock, b"F", _npz_bytes(frames=np.zeros((3, 3), np.uint8),
+                                        t=np.float64(0.0)))
+    # the faulted session is told why and stops waiting immediately —
+    # well inside the 120 s grace (no busy-wait on the dead socket)
+    import time
+    t0 = time.time()
     assert bad.drain(grace=120.0, expect=1) == 0
+    assert time.time() - t0 < 60.0
     assert bad.server_error is not None and "error" in bad.server_error
+    assert bad.closed
 
     # the healthy session is unaffected: full round, delta applied
     good.send_samples(frames, 0.0)
