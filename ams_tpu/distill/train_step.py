@@ -141,7 +141,7 @@ def make_distill_round(spec: DistillSpec):
 
     @functools.partial(jax.jit, static_argnames=("reselect",))
     def round_fn(params, opt_state, frames_buf, labels_buf, n_valid, rng, lr,
-                 mask, reselect: bool = True, class_mask=None):
+                 mask, reselect: bool = True, class_mask=None, idx_seq=None):
         params_t, bn_state = split_params(params)
         before = params_t  # round-start snapshot (auto reverts to this)
 
@@ -157,9 +157,16 @@ def make_distill_round(spec: DistillSpec):
             return loss, stats_cap
 
         def draw(it):
-            k = jax.random.fold_in(rng, it)
-            idx = jax.random.randint(k, (spec.batch_size,), 0,
-                                     jnp.maximum(n_valid, 1))
+            if idx_seq is not None:
+                # Deterministic batch composition (parity fixtures / replay):
+                # row ``it`` of idx_seq names the buffer entries of the
+                # iteration's minibatch, standing in for the reference's
+                # host-side mini_batch draw (utils/utils.py:129-185).
+                idx = idx_seq[it]
+            else:
+                k = jax.random.fold_in(rng, it)
+                idx = jax.random.randint(k, (spec.batch_size,), 0,
+                                         jnp.maximum(n_valid, 1))
             frames = frames_buf[idx].astype(jnp.float32)
             labels = labels_buf[idx]
             if spec.batch_axis or spec.width_axis:

@@ -1,0 +1,393 @@
+"""Generate a TF1-executed TRAINING-ROUND parity fixture.
+
+Unlike the forward fixture (make_parity_fixture.py), this runs the
+reference's OWN training machinery — ``create_student_v3`` from
+``/root/reference/utils/graph_utils.py`` (imported as an oracle, executed
+under tf.compat.v1) over the shipped student ``.meta`` — for several Adam
+iterations and records the resulting parameter/loss/mask trajectories.
+``tests/test_parity_round.py`` gates the JAX round
+(``ams_tpu.distill.train_step``) against it, converting the round numerics
+(TF1 Adam epsilon placement, slots-advance-under-mask, BN moving-average
+updates with control deps, the coord-desc-auto percentile selection with its
+strict ``>`` threshold and restore composition) from correct-by-derivation
+into correct-by-fixture.
+
+Comparison-horizon design: per-coordinate parameter gates are recorded at
+a ONE-iteration horizon only (cold1 / full_it1 / fixed_it1 /
+auto_postsel).  Measured on this network, cross-implementation f32
+trajectories decorrelate per-coordinate within 3-4 Adam iterations (the
+~0.8% of coordinates whose gradient sits at the float noise floor take
+±lr sign-flipped steps, and batch-norm coupling amplifies those flips
+~30x per iteration into the bulk — while TF-vs-TF re-runs stay bitwise
+identical).  Multi-iteration fidelity is gated through the per-iteration
+LOSS traces, the selection masks, and invariants that hold exactly at any
+horizon (masked-out coordinates bitwise-frozen).
+
+Three runs from identical initial state and identical batch sequences:
+  cold1  — masked_gradients=False, ONE iteration of the reference ``train``
+           op (graph_utils.py:495-496) from zero slots: the strict t=1 gate;
+  auto   — ``coord_desc_auto``: frozen-params warmup (train_coord with an
+           all-False mask — slots advance, params bitwise frozen), then
+           restore_initial (BN moving stats back, Adam slots KEPT — the
+           reference's per-round reset, run.py:309-310 + the filter at
+           SemanticNetwork.py:154-156), then the selection probe step,
+           |delta| percentile + where-revert restore
+           (SemanticNetwork.py:263-288), then N-1 masked iterations.
+           Selecting from warm slots matters: at Adam t=1 every live
+           coordinate moves by ~lr so the percentile slices a degenerate
+           cluster; from t=N+1 the |delta| ranking is well-separated and the
+           TF-vs-JAX mask comparison is meaningful;
+  full   — same warmup, then N iterations of train_coord(all-ones), which
+           the tool asserts bitwise-equals the unmasked ``train`` op;
+  fixed  — same warmup, then N iterations under a fixed
+           Bernoulli(coord_frac) mask (the hardcoded-recipe / keep_mask
+           path).
+
+Environment notes (TF 2.21 compat.v1): ``tf.compat.v1.layers`` no longer
+exists, so the ``_patch`` BN twin (graph_utils.py:368 — a disconnected
+frozen-stats copy whose output the training path never consumes) is shimmed
+with an equivalent variable layout; ``enable_v2_tensorshape`` is needed for
+the reference's Dimension arithmetic; the drift-loss ``model.npy``
+(graph_utils.py:437) is synthesized from the seeded graph init since the
+mount ships no weight blobs.
+
+Usage:
+    python tools/make_round_fixture.py --height 64 --out tests/fixtures/round_parity_h64.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+REF = "/root/reference"
+META_SRC = REF + "/checkpoints/deeplabv3_mobilenetv2_cityscapes/model.meta"
+
+# Variables that are emulation plumbing, not model state (the reference's
+# save_vars exclusion list, SemanticNetwork.py:146-147).
+NON_MODEL = ("images", "labels", "label_cache", "image_cache", "global_step")
+
+
+def _make_bn_shim(tf1):
+    def bn_shim(input_tensor, fused=True, training=False, trainable=True,
+                name=None):
+        ch = int(input_tensor.shape[-1])
+        with tf1.variable_scope(name):
+            gamma = tf1.get_variable("gamma", [ch],
+                                     initializer=tf1.ones_initializer(),
+                                     trainable=trainable)
+            beta = tf1.get_variable("beta", [ch],
+                                    initializer=tf1.zeros_initializer(),
+                                    trainable=trainable)
+            mm = tf1.get_variable("moving_mean", [ch],
+                                  initializer=tf1.zeros_initializer(),
+                                  trainable=False)
+            mv = tf1.get_variable("moving_variance", [ch],
+                                  initializer=tf1.ones_initializer(),
+                                  trainable=False)
+        return tf1.nn.batch_normalization(input_tensor, mm, mv, beta, gamma,
+                                          1e-3, name=name + "/out")
+    return bn_shim
+
+
+class _TFShim:
+    """tf.compat.v1 proxy with .layers.batch_normalization restored."""
+
+    def __init__(self, base):
+        self._base = base
+        self.layers = types.SimpleNamespace(
+            batch_normalization=_make_bn_shim(base))
+
+    def __getattr__(self, k):
+        return getattr(self._base, k)
+
+
+def load_reference_graph_utils(tf1):
+    """Exec the reference's graph_utils with its tf bound to compat.v1."""
+    ref_utils = types.ModuleType("ams.utils.utils")
+    with open(f"{REF}/utils/utils.py") as f:
+        exec(compile(f.read(), f"{REF}/utils/utils.py", "exec"),
+             ref_utils.__dict__)
+    ref_utils.tf = tf1
+
+    ams_pkg = types.ModuleType("ams")
+    ams_pkg.__path__ = []
+    ams_utils_pkg = types.ModuleType("ams.utils")
+    ams_utils_pkg.__path__ = []
+    sys.modules.setdefault("ams", ams_pkg)
+    sys.modules.setdefault("ams.utils", ams_utils_pkg)
+    sys.modules["ams.utils.utils"] = ref_utils
+    ams_utils_pkg.utils = ref_utils
+
+    gu = types.ModuleType("ref_graph_utils")
+    path = f"{REF}/utils/graph_utils.py"
+    with open(path) as f:
+        exec(compile(f.read(), path, "exec"), gu.__dict__)
+    gu.tf = _TFShim(tf1)  # all tf use is inside functions; rebind is enough
+    return gu
+
+
+def tracked_names(all_names):
+    """Model variables the JAX params dict carries: everything except
+    emulation plumbing, the _patch twins, the masked-gradient _copy backups
+    and optimizer slots."""
+    out = []
+    for n in all_names:
+        base = n[:-2] if n.endswith(":0") else n
+        if base in NON_MODEL:
+            continue
+        if "_patch" in n or "_copy" in n or "Adam" in n or "power" in n:
+            continue
+        out.append(n)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--pool", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--coord_frac", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
+    import tensorflow.compat.v1 as tf1
+    tf1.disable_v2_behavior()
+    tf1.enable_v2_tensorshape()
+
+    gu = load_reference_graph_utils(tf1)
+
+    tmp = tempfile.mkdtemp(prefix="ams_round_fixture_")
+    shutil.copy(META_SRC, os.path.join(tmp, "model.meta"))
+    meta_dir = os.path.join(tmp, "model")
+
+    # ---- phase 1: seeded init of the bare meta -> canonical initial params
+    g1 = tf1.Graph()
+    with g1.as_default():
+        tf1.set_random_seed(args.seed)
+        tf1.train.import_meta_graph(META_SRC, clear_devices=True)
+        init1 = tf1.global_variables_initializer()
+        gvars = tf1.global_variables()
+    with tf1.Session(graph=g1) as s1:
+        s1.run(init1)
+        init_values = dict(zip([v.name for v in gvars], s1.run(gvars)))
+    # the drift-loss checkpoint create_student_v3 np.load()s (keys keep ':0')
+    np.save(meta_dir + ".npy", init_values)
+
+    h, w = args.height, args.height * 2
+    rng = np.random.RandomState(args.seed)
+    pool_frames = rng.randint(0, 256, (args.pool, h, w, 3)).astype(np.uint8)
+    pool_labels = rng.randint(0, 19, (args.pool, h, w)).astype(np.uint8)
+    ignore = rng.rand(args.pool, h, w) < 0.05  # exercise the weights=0 path
+    pool_labels[ignore] = 255
+    idx_seq = rng.randint(0, args.pool, (args.iters, args.batch))
+    idx_seq2 = rng.randint(0, args.pool, (args.iters, args.batch))
+    fixed_mask_rng = np.random.RandomState(args.seed + 1)
+
+    track = tracked_names(init_values.keys())
+    out = {
+        "pool_frames": pool_frames, "pool_labels": pool_labels,
+        "idx_seq": idx_seq.astype(np.int32),
+        "idx_seq2": idx_seq2.astype(np.int32),
+        "lr": np.float32(args.lr), "iters": np.int32(args.iters),
+        "coord_frac": np.float32(args.coord_frac),
+    }
+    for n in track:
+        out["init:" + n[:-2]] = init_values[n]
+
+    def build(masked):
+        student = gu.create_student_v3(
+            meta_dir, class_weights=np.ones(19), masked_gradients=masked)
+        g = student["graph"]
+        with g.as_default():
+            init = tf1.global_variables_initializer()
+            initl = tf1.local_variables_initializer()
+            assigns, pls = [], {}
+            for v in tf1.global_variables():
+                if v.name in init_values:
+                    pl = tf1.placeholder(v.dtype, v.shape)
+                    assigns.append(tf1.assign(v, pl))
+                    pls[pl] = init_values[v.name]
+            track_tensors = [g.get_tensor_by_name(n) for n in track]
+            # restore_initial: params + BN moving stats back to the
+            # checkpoint, Adam slots/beta-powers untouched (run.py:309-310;
+            # the filter skips only Adam/Momentum, SemanticNetwork.py:154)
+            restore_ops, restore_pls = [], {}
+            for var in tf1.global_variables():
+                if var.name in track:
+                    pl = tf1.placeholder(var.dtype, var.shape)
+                    restore_ops.append(tf1.assign(var, pl))
+                    restore_pls[pl] = init_values[var.name]
+        sess = tf1.Session(graph=g)
+
+        def reset():
+            sess.run([init, initl])
+            sess.run(assigns, pls)
+
+        def restore_initial():
+            sess.run(restore_ops, restore_pls)
+
+        def snapshot():
+            return dict(zip(track, sess.run(track_tensors)))
+
+        def feed_batch(i, seq=idx_seq):
+            fr = pool_frames[seq[i]].astype(np.float32)
+            lb = pool_labels[seq[i]].astype(np.float32)
+            sess.run(student["fill_input_buffer"],
+                     {student["features_input"]: fr,
+                      student["labels_input"]: lb})
+        return student, sess, reset, restore_initial, snapshot, feed_batch
+
+    # NOTE on the warm-slot protocol: every recorded multi-iteration run
+    # does [frozen-params warmup on idx_seq] -> restore_initial ->
+    # [recorded iterations on idx_seq2].  At Adam t=1 every coordinate's
+    # update saturates at ±lr·sign(g), so coordinates with |g| at the
+    # float-noise floor flip direction between any two implementations and
+    # the trajectories diverge chaotically (measured: 0.8% knife-edge
+    # coords after 1 cold iteration grow to 90%-of-coords disagreement by
+    # iteration 4 — and a warmup that MOVES params transports that chaos
+    # into the Adam slots, leaving 77% of first-recorded-iteration updates
+    # off by >1e-4).  The warmup here is therefore train_coord with an
+    # ALL-FALSE mask — the reference's own backup→Adam→revert-everything
+    # op: params stay bitwise frozen, every warmup gradient is computed at
+    # the identical initial point on both sides, and the slots agree to
+    # float noise.  This is also a direct exercise of the
+    # slots-advance-under-mask semantics.  The cold t=1 step is still
+    # gated — by the dedicated 1-iteration "cold1" record below.
+
+    # ---- unmasked graph: cold 1-iter gate on the reference `train` op ---
+    student, sess, reset, restore_initial, snapshot, feed_batch = \
+        build(masked=False)
+
+    def run_full(i, seq=idx_seq):
+        feed_batch(i, seq)
+        return sess.run({"t": student["train"], "loss": student["loss"]},
+                        {student["learning_rate"]: args.lr})["loss"]
+
+    reset()
+    out["cold1_losses"] = np.asarray([run_full(0)], np.float32)
+    for n, v in snapshot().items():
+        out["cold1_final:" + n[:-2]] = v
+    print("cold1 loss:", out["cold1_losses"])
+    sess.close()
+
+    # ---- masked graph: all recorded runs (train_coord(ones) ≡ train —
+    # asserted bitwise below) ----
+    student, sess, reset, restore_initial, snapshot, feed_batch = \
+        build(masked=True)
+    mask_pl = student["grad_masks_pl"]        # keyed by entire_model_vars name
+    emv = list(mask_pl.keys())
+    ones = {k: np.ones(init_values[k].shape, bool) for k in emv}
+    zeros = {k: np.zeros(init_values[k].shape, bool) for k in emv}
+
+    def run_coord(masks, i, seq=idx_seq):
+        feed = {student["learning_rate"]: args.lr}
+        for k in emv:
+            feed[mask_pl[k]] = masks[k]
+        feed_batch(i, seq)
+        return sess.run({"t": student["train_coord"],
+                         "loss": student["loss"]}, feed)["loss"]
+
+    with student["graph"].as_default():
+        emv_vars = {var.name: var for var in tf1.global_variables()
+                    if var.name in set(emv)}
+        combine_ops, combine_input = {}, {}
+        for k in emv:
+            pl = tf1.placeholder(emv_vars[k].dtype, emv_vars[k].shape)
+            combine_ops[k] = tf1.assign(emv_vars[k], pl)
+            combine_input[k] = pl
+
+    # the masked graph's train_coord(all-ones) is numerically the
+    # unmasked graph's train: assert the cross-check bitwise
+    reset()
+    cross = run_coord(ones, 0)
+    assert cross == out["cold1_losses"][0], (cross, out["cold1_losses"])
+
+    def warmup():
+        """Frozen-params slot warmup + moving-stat reset; returns the
+        loss trace (params never move, so it depends only on the batch
+        sequence — a tight cross-implementation signal)."""
+        reset()
+        wl = [run_coord(zeros, i) for i in range(args.iters)]
+        # params are already bitwise-initial; this resets the BN moving
+        # stats the warmup advanced.  Slots/beta-powers stay warm.
+        restore_initial()
+        return np.asarray(wl, np.float32)
+
+    # ---- run "auto": warmup -> coord_desc_auto on idx_seq2 ----
+    out["warm_losses"] = warmup()
+    print("warm (frozen-params) losses:", out["warm_losses"])
+
+    before = snapshot()
+    losses = [run_coord(ones, 0, idx_seq2)]
+    after = snapshot()
+    changes = np.concatenate([np.abs(after[k] - before[k]).reshape(-1)
+                              for k in emv])
+    cut = np.percentile(changes, 100 * (1 - args.coord_frac))
+    auto_mask = {k: np.abs(after[k] - before[k]) > cut for k in emv}
+    sess.run([combine_ops[k] for k in emv],
+             {combine_input[k]: np.where(auto_mask[k], after[k], before[k])
+              for k in emv})
+    frac = np.mean([m.mean() for m in auto_mask.values()])
+    print("auto selection: cut=%.3e, mean per-var frac=%.3f" % (cut, frac))
+    # post-selection state (probe step + where-revert restore): the
+    # 1-iteration-horizon per-coordinate gate for the auto path
+    for n, v in snapshot().items():
+        out["auto_postsel:" + n[:-2]] = v
+    for i in range(1, args.iters):
+        losses.append(run_coord(auto_mask, i, idx_seq2))
+    out["auto_losses"] = np.asarray(losses, np.float32)
+    out["auto_cut"] = np.float64(cut)
+    # |delta| margin to the cut — lets the test separate genuine mask
+    # disagreements from float ties at the threshold
+    for k in emv:
+        out["auto_mask:" + k[:-2]] = auto_mask[k]
+        out["auto_margin:" + k[:-2]] = (
+            np.abs(after[k] - before[k]) - cut).astype(np.float32)
+    print("auto losses:", losses)
+
+    # ---- run "full": warmup -> train_coord(ones) ≡ train on idx_seq2 ----
+    wl = warmup()
+    assert np.array_equal(wl, out["warm_losses"])  # TF determinism check
+    losses = [run_coord(ones, 0, idx_seq2)]
+    for n, v in snapshot().items():
+        out["full_it1:" + n[:-2]] = v
+    losses += [run_coord(ones, i, idx_seq2) for i in range(1, args.iters)]
+    out["full_losses"] = np.asarray(losses, np.float32)
+    print("full_model losses (warm):", losses)
+
+    # ---- run "fixed": Bernoulli(coord_frac) mask from iteration 0,
+    # warm-slot protocol like the others ----
+    warmup()
+    fixed_mask = {k: fixed_mask_rng.rand(*init_values[k].shape)
+                  < args.coord_frac for k in emv}
+    losses = [run_coord(fixed_mask, 0, idx_seq2)]
+    for n, v in snapshot().items():
+        out["fixed_it1:" + n[:-2]] = v
+    losses += [run_coord(fixed_mask, i, idx_seq2)
+               for i in range(1, args.iters)]
+    out["fixed_losses"] = np.asarray(losses, np.float32)
+    for k in emv:
+        out["fixed_mask:" + k[:-2]] = fixed_mask[k]
+    sess.close()
+    print("fixed losses:", losses)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    np.savez_compressed(args.out, **out)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print("wrote %s (%.1f MB), %d tracked vars, %d entire_model_vars"
+          % (args.out, os.path.getsize(args.out) / 1e6, len(track), len(emv)))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
