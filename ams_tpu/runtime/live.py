@@ -17,7 +17,10 @@ Protocol (TCP, length-prefixed):
     'R'  server->client  JSON resume notice {"resume_t": s} — sent before
                          'M' when the server restored this client_id's
                          session bundle; the edge fast-forwards its stream
-    'M'  server->client  initial model snapshot (npz, raw params)
+    'M'  server->client  initial model snapshot (npz, raw params); a
+                         resumed restore-mode session adds base:* keys —
+                         the server's initial checkpoint, which is what
+                         every 'D' delta is relative to
     'F'  client->server  frame batch (npz: frames uint8 (N,H,W,3), t float)
     'V'  client->server  H.264-compressed frame batch (npz: blob, t) — the
                          REAL uplink: the server trains on decoded-after-
@@ -41,6 +44,7 @@ import json
 import socket
 import struct
 import threading
+import time
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -55,10 +59,17 @@ _HDR = struct.Struct(">cQ")
 _WIRE_DTYPES = ("float16", "int8")
 _CLIENT_ID_RE = __import__("re").compile(r"[A-Za-z0-9._-]+\Z")
 
+# A frame batch at the largest plausible resolution is tens of MB; anything
+# bigger than this is a malformed or hostile length prefix, and honoring it
+# would let an unauthenticated peer trigger multi-GB allocations.
+MAX_PAYLOAD = 256 << 20
 
-def _hello_error(hello: Dict) -> Optional[str]:
+
+def _hello_error(hello: Dict, checkpoint_dir: Optional[str] = None
+                 ) -> Optional[str]:
     """Reject malformed hellos BEFORE any device work (and before a bad
-    value could crash a round mid-flight or escape the resume_dir)."""
+    value could crash a round mid-flight, escape the resume_dir, or name
+    an arbitrary server-side file as the student checkpoint)."""
     wd = hello.get("wire_dtype", "float16")
     if wd not in _WIRE_DTYPES:
         return "unknown wire_dtype %r (expected one of %s)" % (
@@ -67,6 +78,20 @@ def _hello_error(hello: Dict) -> Optional[str]:
     if cid is not None and not _CLIENT_ID_RE.match(str(cid)):
         return ("client_id %r is not filesystem-safe "
                 "(allowed: letters, digits, . _ -)" % (cid,))
+    # 'checkpoint' is client-controlled: it must never reach the filesystem
+    # as a raw path (np.load(allow_pickle) on an attacker-chosen file, with
+    # the loaded bytes streamed back in the 'M' snapshot).  Allowed values:
+    # "synthetic" (seeded init), or a bare NAME resolved under the server's
+    # --checkpoint_dir.
+    ck = hello.get("checkpoint")
+    if ck is not None and ck != "synthetic":
+        if not _CLIENT_ID_RE.match(str(ck)):
+            return ("checkpoint %r is not a plain name (clients select "
+                    "checkpoints from the server's checkpoint_dir by name; "
+                    "paths are not accepted)" % (ck,))
+        if checkpoint_dir is None:
+            return ("server has no checkpoint_dir configured; only "
+                    "checkpoint='synthetic' is accepted")
     return None
 
 
@@ -74,16 +99,27 @@ def send_msg(sock: socket.socket, mtype: bytes, payload: bytes) -> None:
     sock.sendall(_HDR.pack(mtype, len(payload)) + payload)
 
 
-def recv_msg(sock: socket.socket):
-    """-> (type, payload) or (None, None) on EOF."""
+def recv_msg(sock: socket.socket, max_payload: int = MAX_PAYLOAD):
+    """-> (type, payload) or (None, None) on EOF.
+
+    Raises ProtocolError when the length prefix exceeds ``max_payload``
+    (memory-DoS guard: the 8-byte length is attacker-controlled and arrives
+    before any hello validation)."""
     hdr = _recv_exact(sock, _HDR.size)
     if hdr is None:
         return None, None
     mtype, n = _HDR.unpack(hdr)
+    if n > max_payload:
+        raise ProtocolError("message length %d exceeds cap %d"
+                            % (n, max_payload))
     payload = _recv_exact(sock, n) if n else b""
     if n and payload is None:
         return None, None
     return mtype, payload
+
+
+class ProtocolError(ValueError):
+    """Malformed wire data (bad length prefix / oversized message)."""
 
 
 def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
@@ -107,10 +143,26 @@ def _npz_load(blob: bytes) -> Dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+def _resolve_checkpoint(hello: Dict, checkpoint_dir: Optional[str],
+                        default_checkpoint) -> object:
+    """Map the (validated) hello 'checkpoint' onto a trusted source: the
+    server operator's default, 'synthetic', or a name inside
+    checkpoint_dir.  _hello_error has already rejected anything else."""
+    ck = hello.get("checkpoint")
+    if ck is None:
+        return default_checkpoint if default_checkpoint is not None \
+            else "synthetic"
+    if ck == "synthetic":
+        return "synthetic"
+    import os
+    return os.path.join(checkpoint_dir, str(ck))
+
+
 class _ClientState:
     """Per-connection server-side state: one student + frame memory."""
 
-    def __init__(self, hello: Dict):
+    def __init__(self, hello: Dict, *, checkpoint_dir=None,
+                 default_checkpoint=None):
         self.hello = hello
         exp_num = hello["exp_num"]
         height = hello["height"]
@@ -120,7 +172,8 @@ class _ClientState:
         self.no_restore = hello.get("no_restore", False)
         self.wire_dtype = hello.get("wire_dtype", "float16")
         self.network = SemanticNetwork(
-            meta_dir=hello.get("checkpoint"),
+            meta_dir=_resolve_checkpoint(hello, checkpoint_dir,
+                                         default_checkpoint),
             class_weights_exp=exp_configs.class_weights(exp_num),
             height=height, scale=[1],
             mini_batch_size=hello.get("batch_size", 10),
@@ -144,24 +197,45 @@ class LiveServer:
     independent student + frame memory, and rounds run SERIALLY under the
     device lock (measured faster than vmapping students together on TPU —
     PERFORMANCE.md; a v5e-1 sustains ~3 reference-cadence streams).
+
+    Lifecycle: the accept loop runs until ``close()`` — ``max_clients`` is
+    a CONCURRENCY cap (a semaphore), not a lifetime quota, so client N+1
+    is served after a disconnect frees a slot; over-cap connections get an
+    immediate 'Q' "server busy" instead of queueing into a half-open
+    backlog.  Sessions idle longer than ``idle_timeout`` seconds are
+    reaped as orderly disconnects.  ``close()`` stops accepting, nudges
+    live sessions shut (their final state still lands in ``final_vars`` /
+    the resume bundle) and joins every thread.
     """
 
     def __init__(self, labeler: Callable[[np.ndarray], np.ndarray], *,
                  host: str = "127.0.0.1", port: int = 0,
-                 max_clients: int = 1, resume_dir: Optional[str] = None):
+                 max_clients: int = 1, resume_dir: Optional[str] = None,
+                 checkpoint_dir: Optional[str] = None,
+                 default_checkpoint=None,
+                 idle_timeout: Optional[float] = None):
         self.labeler = labeler
         self.max_clients = max_clients
         self.resume_dir = resume_dir  # per-client state bundles survive
         # server restarts: a reconnecting client_id resumes its student,
         # Adam slots, frame memory and training clock (runtime/resume.py
         # primitives; the emulation's mid-run resume, for the live loop)
+        self.checkpoint_dir = checkpoint_dir    # trusted root for hello
+        # 'checkpoint' names; None = only 'synthetic' accepted
+        self.default_checkpoint = default_checkpoint  # operator-supplied
+        self.idle_timeout = idle_timeout
         self._lsock = socket.create_server((host, port))
         self.address = self._lsock.getsockname()
         self._threads = []
         self._anon_seq = iter(range(1 << 30))  # stable anonymous ids
         self._accept_thread: Optional[threading.Thread] = None
         self._device_lock = threading.Lock()  # rounds serialize on the chip
+        self._slots = threading.BoundedSemaphore(max_clients)
+        self._shutdown = threading.Event()
+        self._conns_lock = threading.Lock()
+        self._active_conns: set = set()
         self.rounds_served = 0
+        self.sessions_served = 0
         self.final_vars: Dict = {}  # last-round params per client id
         self.error: Optional[BaseException] = None  # accept-loop failure
         self.client_errors: Dict = {}  # per-client faults, isolated
@@ -172,7 +246,8 @@ class LiveServer:
         self._accept_thread.start()
 
     def join(self, timeout=None, raise_client_errors: bool = True) -> None:
-        """Wait for the accept loop and every client thread.
+        """Wait for every ACTIVE client session to finish (the accept loop
+        keeps serving until ``close()``; after close it is joined too).
 
         One client's fault never interrupts the others' service (threads
         are independent and each fault is confined to its session); after
@@ -180,13 +255,13 @@ class LiveServer:
         faults raise an aggregate unless ``raise_client_errors=False``
         (inspect ``client_errors`` instead)."""
         assert self._accept_thread is not None
-        self._accept_thread.join(timeout)
-        for t in self._threads:
+        if self._shutdown.is_set():
+            self._accept_thread.join(timeout)
+        for t in list(self._threads):
             t.join(timeout)
         if self.error is not None:
             raise self.error
-        done = not self._accept_thread.is_alive() and all(
-            not t.is_alive() for t in self._threads)
+        done = all(not t.is_alive() for t in self._threads)
         if done and self.client_errors and raise_client_errors:
             # chain the first underlying exception so its traceback
             # survives into the aggregate
@@ -195,21 +270,69 @@ class LiveServer:
                 {k: repr(e) for k, e in self.client_errors.items()}
             ) from next(iter(self.client_errors.values()))
 
+    def close(self, grace: float = 30.0,
+              raise_client_errors: bool = False) -> None:
+        """Graceful shutdown: stop accepting, signal live sessions end-of-
+        stream (SHUT_RD — their receive loop sees EOF, the in-flight round
+        completes and its delta still ships), run each session's normal
+        epilogue, and only hard-close sockets that outlive ``grace``."""
+        self._shutdown.set()
+        try:
+            # shutdown() is what actually wakes a thread blocked in
+            # accept() on Linux — close() alone leaves it parked forever
+            self._lsock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            self._lsock.close()
+        except OSError:
+            pass
+        if self._accept_thread is not None:
+            self._accept_thread.join(grace)
+        with self._conns_lock:
+            lingering = list(self._active_conns)
+        for conn in lingering:
+            try:
+                conn.shutdown(socket.SHUT_RD)
+            except OSError:
+                pass
+        deadline = time.time() + grace
+        for t in list(self._threads):
+            t.join(max(0.0, deadline - time.time()))
+        with self._conns_lock:
+            stuck = list(self._active_conns)
+        for conn in stuck:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+        for t in list(self._threads):
+            t.join(1.0)
+        if self._accept_thread is not None:
+            self.join(timeout=1.0, raise_client_errors=raise_client_errors)
+
     def _accept_loop(self) -> None:
         try:
-            served = 0
-            while served < self.max_clients:
-                conn, peer = self._lsock.accept()
+            while not self._shutdown.is_set():
+                try:
+                    conn, peer = self._lsock.accept()
+                except OSError:
+                    if self._shutdown.is_set():
+                        break  # close() closed the listen socket
+                    raise
+                # reap finished session threads so a long-lived daemon's
+                # thread list doesn't grow without bound
+                self._threads = [t for t in self._threads if t.is_alive()]
                 # handshake inline: a stray connection (port scanner,
                 # health check) that closes or talks garbage must not burn
-                # one of the max_clients slots
+                # a concurrency slot
                 try:
                     mtype, payload = recv_msg(conn)
                     if mtype != b"H":
                         conn.close()
                         continue
                     hello = json.loads(payload.decode())
-                    err = _hello_error(hello)
+                    err = _hello_error(hello, self.checkpoint_dir)
                     if err is not None:
                         try:
                             send_msg(conn, b"Q", err.encode())
@@ -220,17 +343,27 @@ class LiveServer:
                 except (OSError, ValueError):
                     conn.close()
                     continue
+                if not self._slots.acquire(blocking=False):
+                    try:
+                        send_msg(conn, b"Q", (
+                            "server busy: %d sessions active"
+                            % self.max_clients).encode())
+                    except OSError:
+                        pass
+                    conn.close()
+                    continue
                 t = threading.Thread(target=self._client_loop,
                                      args=(conn, hello), daemon=True)
                 self._threads.append(t)
                 t.start()
-                served += 1
         except BaseException as e:
             self.error = e
         finally:
             self._lsock.close()
 
     def _client_loop(self, conn: socket.socket, hello: Dict) -> None:
+        with self._conns_lock:
+            self._active_conns.add(conn)
         try:
             self._handle(conn, hello)
         except BaseException as e:
@@ -246,7 +379,11 @@ class LiveServer:
             except OSError:
                 pass
         finally:
+            with self._conns_lock:
+                self._active_conns.discard(conn)
             conn.close()
+            self.sessions_served += 1
+            self._slots.release()
 
     def _resume_prefix(self, client_id) -> Optional[str]:
         if self.resume_dir is None:
@@ -256,7 +393,12 @@ class LiveServer:
         return os.path.join(self.resume_dir, "live_%s" % client_id)
 
     def _handle(self, conn: socket.socket, hello: Dict) -> None:
-        st = _ClientState(hello)
+        if self.idle_timeout is not None:
+            # a silent peer is reaped as an orderly disconnect (see the
+            # socket.timeout handling in the receive loop below)
+            conn.settimeout(self.idle_timeout)
+        st = _ClientState(hello, checkpoint_dir=self.checkpoint_dir,
+                          default_checkpoint=self.default_checkpoint)
         # persistence is keyed on an EXPLICIT client_id only: keying
         # anonymous clients on id(st) would let CPython address reuse hand
         # one client another's session bundle
@@ -284,11 +426,20 @@ class LiveServer:
 
         # initial deploy: the full raw snapshot (the emulation's t=0
         # frozen graph, or the resumed session state; raw because the
-        # client must consume deltas)
-        send_msg(conn, b"M", _npz_bytes(**st.network.get_vars()))
+        # client must consume deltas).  A RESUMED restore-mode session
+        # additionally ships the server's initial checkpoint (base: keys):
+        # its deltas are relative to that, not to the resumed state.
+        m_arrays = dict(st.network.get_vars())
+        if resumed_t is not None and not st.no_restore:
+            for k, v in st.network.initial_vars().items():
+                m_arrays["base:" + k] = v
+        send_msg(conn, b"M", _npz_bytes(**m_arrays))
 
         while True:
-            mtype, payload = recv_msg(conn)
+            try:
+                mtype, payload = recv_msg(conn)
+            except socket.timeout:
+                break  # idle-session reap: orderly end, state preserved
             if mtype in (None, b"Q"):
                 break
             assert mtype in (b"F", b"V"), mtype
@@ -326,9 +477,12 @@ class LiveServer:
             st.rounds += 1
             if prefix is not None:
                 from ams_tpu.runtime import resume as resume_mod
+                # untruncated float clock: int() here would shift the
+                # resumed training schedule by up to 1 s vs an
+                # uninterrupted session
                 resume_mod.save_state(
                     prefix, network=st.network, memory=st.memory,
-                    second=int(st.last_train_t), send_rate=0.0,
+                    second=st.last_train_t, send_rate=0.0,
                     sample_per_period=[], up_bw=[], down_bw=[],
                     model_save_times=[], save_range=[], trained_seconds=[],
                     update_count=st.rounds)
@@ -347,6 +501,10 @@ class LiveClient:
         self.height = height
         self.strategy = strategy
         self.wire_dtype = wire_dtype
+        # mirrors the server's per-round restore semantics: with restore
+        # (default), every delta is relative to the INITIAL deployment, so
+        # the client re-bases each apply on its initial snapshot
+        self.no_restore = bool(hello_extra.get("no_restore", False))
         self.sock = socket.create_connection(tuple(address))
         hello = dict(exp_num=exp_num, height=height, strategy=strategy,
                      wire_dtype=wire_dtype, **hello_extra)
@@ -363,11 +521,18 @@ class LiveClient:
                     "server rejected hello: %s" % payload.decode())
             break
         assert mtype == b"M", mtype
+        arrays = _npz_load(payload)
+        delta_base = {k[len("base:"):]: v for k, v in arrays.items()
+                      if k.startswith("base:")}
+        current = {k: v for k, v in arrays.items()
+                   if not k.startswith("base:")}
         self.network = SemanticNetwork(
-            meta_dir=_npz_load(payload),
+            meta_dir=current,
             class_weights_exp=exp_configs.class_weights(exp_num),
             height=height, frozen=True,
             over_ride_total_classes=exp_configs.num_classes(exp_num))
+        if delta_base:
+            self.network.set_restore_target(delta_base)
         self.deltas_applied = 0
         self.downlink_bits = 0
         self.uplink_bits = 0
@@ -417,7 +582,8 @@ class LiveClient:
                 return applied
             assert mtype == b"D", mtype
             self.network.apply_downlink(payload, strategy=self.strategy,
-                                        wire_dtype=self.wire_dtype)
+                                        wire_dtype=self.wire_dtype,
+                                        base_initial=not self.no_restore)
             self.downlink_bits += len(payload) * 8
             self.delta_bits.append(len(payload) * 8)
             self.deltas_applied += 1
@@ -427,18 +593,22 @@ class LiveClient:
         return self.network.predict_input(frame[None])[0]
 
     def drain(self, grace: float = 30.0, quiet: float = 1.0,
-              expect: Optional[int] = None) -> int:
+              expect: Optional[int] = None,
+              max_quiet: Optional[float] = None) -> int:
         """End-of-stream: apply in-flight deltas.
 
         With ``expect`` (total deltas this client should see — the caller
         can mirror the server's train-period arithmetic), waits up to
         ``grace`` for the count to be reached; otherwise stops after the
-        link is quiet for ``quiet`` seconds.  Returns how many it applied.
-        """
-        import time
-
+        link is quiet for ``quiet`` seconds.  ``max_quiet`` additionally
+        bounds the SILENCE while expecting: if the caller's round
+        arithmetic over-counted (e.g. an uplink batch the server never
+        trained on), the link goes quiet well past the round cadence and
+        waiting out the whole grace would just stall shutdown.  Returns
+        how many it applied."""
         applied = 0
         deadline = time.time() + grace
+        last_progress = time.time()
         while time.time() < deadline:
             if expect is not None and self.deltas_applied >= expect:
                 break
@@ -446,12 +616,17 @@ class LiveClient:
             n = self.poll_deltas(
                 timeout=min(remaining, 5.0) if expect is not None else quiet)
             applied += n
+            if n:
+                last_progress = time.time()
             # EOF or fault: no more deltas will ever come, and a dead
             # socket reads as instantly-readable — spinning on it for the
             # rest of the grace would burn a CPU
             if self.closed:
                 break
             if n == 0 and expect is None:
+                break
+            if (expect is not None and max_quiet is not None
+                    and time.time() - last_progress > max_quiet):
                 break
         return applied
 

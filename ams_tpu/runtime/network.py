@@ -207,6 +207,20 @@ class SemanticNetwork:
     def get_vars(self):
         return {k: np.asarray(v) for k, v in self.params.items()}
 
+    def initial_vars(self):
+        """Host copy of the restore_initial target (the pretrained
+        checkpoint — what every per-round delta is relative to when the
+        session trains with restore)."""
+        return {k: np.asarray(v) for k, v in self._initial_params.items()}
+
+    def set_restore_target(self, params) -> None:
+        """Override the restore_initial target.  The live resume protocol
+        uses this: a reconnecting delta consumer's 'M' snapshot is the
+        preserved POST-round state, but the server's deltas stay relative
+        to its initial checkpoint, which arrives alongside (base: keys) and
+        becomes this client's delta base."""
+        self._initial_params = {k: jnp.asarray(v) for k, v in params.items()}
+
     @staticmethod
     def _stage_frames(frames):
         """Host->device frame staging: uint8 frames transfer as uint8 (4x
@@ -407,17 +421,31 @@ class SemanticNetwork:
     # ----------------------------------------------------------- export
 
     def apply_downlink(self, blob: bytes, strategy: str = "full_model",
-                       wire_dtype: str = "float16"):
+                       wire_dtype: str = "float16",
+                       base_initial: bool = False):
         """Edge-device update path: decode a delta payload and overlay the
         masked values (fp16 reference wire, or the opt-in int8 wire) onto
         the local weights (the real system's downlink consumer; the
-        reference only measures payload bytes)."""
+        reference only measures payload bytes).
+
+        ``base_initial=True`` overlays onto the INITIAL deployment snapshot
+        instead of the current weights.  This mirrors the server's
+        restore_initial-before-every-round (run.py:309-310): its delta is
+        relative to the initial model, so a client that accumulated earlier
+        rounds' masked values would otherwise drift — coordinates selected
+        in round k-1 but not k keep stale round-k-1 values the server's
+        student no longer has.  Use it whenever the session trains with
+        restore (the default)."""
         from ams_tpu.stream.codec import apply_delta, decode_delta
 
         assert not self._folded, (
             "downlink deltas are keyed on raw variable names; the "
             "delta-consuming client must be deployed with fold=False")
-        host = self.get_vars()
+        if base_initial:
+            host = {k: np.asarray(v) for k, v in
+                    self._initial_params.items()}
+        else:
+            host = self.get_vars()
         shapes = {k: v.shape for k, v in host.items()}
         masks, values = decode_delta(blob, shapes, strategy=strategy,
                                      wire_dtype=wire_dtype)

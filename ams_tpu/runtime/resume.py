@@ -59,7 +59,7 @@ def write_bundle(path: str, arrays: dict) -> None:
     os.replace(tmp, path)
 
 
-def save_state(prefix: str, *, network, memory, second: int, send_rate,
+def save_state(prefix: str, *, network, memory, second: float, send_rate,
                sample_per_period, up_bw, down_bw, model_save_times,
                save_range, trained_seconds, update_count,
                atr_state: Optional[dict] = None,
@@ -72,7 +72,10 @@ def save_state(prefix: str, *, network, memory, second: int, send_rate,
     arrays["mem:frames"] = fbuf[:n]
     arrays["mem:labels"] = lbuf[:n]
     write_bundle(npz_path, arrays)
-    meta = {"second": int(second), "send_rate": float(send_rate),
+    # float, not int: the live server's training clock carries fractional
+    # seconds, and truncating here would shift a resumed session's schedule
+    # by up to 1 s (the emulation's integer clock round-trips unchanged)
+    meta = {"second": float(second), "send_rate": float(send_rate),
             "sample_per_period": list(map(float, sample_per_period)),
             "up_bw": list(map(float, up_bw)),
             "up_codec_exact": list(map(bool, up_codec_exact)),

@@ -191,7 +191,12 @@ def main(argv=None):
                 sec_t0 = time.time()
     finally:
         reader.release()
-        # apply any deltas still in flight (the server may be mid-round)
+        # apply any deltas still in flight (the server may be mid-round).
+        # An over-counted expectation can no longer stall the full grace:
+        # a failed/empty uplink encode now raises at the sender
+        # (stream/uplink.py empty-blob + rc guards) instead of silently
+        # producing a round that never fires.  drain(max_quiet=...) exists
+        # for deployments that want a silence bound on top.
         n = client.drain(grace=150.0, expect=expected_rounds)
         log_new_deltas(second)  # drained deltas count in the artifacts too
         if n:

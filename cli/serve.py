@@ -32,12 +32,26 @@ def main(argv=None):
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--max_clients", type=int, default=1,
-                   help="edge streams served concurrently (rounds run "
-                        "serially on the device; a v5e-1 sustains ~3 "
-                        "reference-cadence streams)")
+                   help="edge streams served CONCURRENTLY (a semaphore, "
+                        "not a lifetime quota — the daemon serves client "
+                        "N+1 after a disconnect; rounds run serially on "
+                        "the device; a v5e-1 sustains ~3 reference-cadence "
+                        "streams)")
     p.add_argument("--resume_dir", default="",
                    help="persist per-client session bundles; a restarted "
                         "server resumes reconnecting client_ids")
+    p.add_argument("--checkpoint_dir", default="",
+                   help="trusted directory of student checkpoints clients "
+                        "may select BY NAME in their hello; unset = only "
+                        "checkpoint='synthetic' is accepted (client-"
+                        "supplied paths are never opened)")
+    p.add_argument("--student_checkpoint", default=None,
+                   help="operator-side default student weights for clients "
+                        "that send no checkpoint")
+    p.add_argument("--idle_timeout", type=float, default=600.0,
+                   help="seconds of client silence before the session is "
+                        "reaped (state persists via --resume_dir); 0 = "
+                        "never")
     a = p.parse_args(argv)
 
     from ams_tpu.runtime.labeler import make_teacher_labeler
@@ -60,13 +74,30 @@ def main(argv=None):
 
     server = LiveServer(labeler, host=a.host, port=a.port,
                         max_clients=a.max_clients,
-                        resume_dir=a.resume_dir or None)
+                        resume_dir=a.resume_dir or None,
+                        checkpoint_dir=a.checkpoint_dir or None,
+                        default_checkpoint=a.student_checkpoint,
+                        idle_timeout=a.idle_timeout or None)
     print("ams live server on %s:%d (max_clients=%d)"
           % (server.address[0], server.address[1], a.max_clients),
           flush=True)
     server.serve_in_background()
-    server.join()
-    print("served %d rounds" % server.rounds_served)
+
+    # daemon: run until SIGTERM/SIGINT, then drain sessions gracefully
+    import signal
+    import threading
+
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
+    # poll-wait: an indefinite Event.wait() can sit in a single C-level
+    # lock acquire where the Python-level signal handler never runs
+    while not stop.is_set():
+        stop.wait(timeout=1.0)
+    print("shutting down...", flush=True)
+    server.close(grace=60.0)
+    print("served %d rounds across %d sessions"
+          % (server.rounds_served, server.sessions_served))
 
 
 if __name__ == "__main__":

@@ -38,13 +38,19 @@ def test_live_streaming_loop():
 
     rng = np.random.RandomState(0)
     deltas = 0
+    sent = 0
     for t in range(3):
         frames = rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8)
         client.send_samples(frames, float(t))
+        sent += 1  # train_period=1: every uplink batch triggers a round
         deltas += client.poll_deltas(timeout=90.0)
         if deltas:
             break
-    assert deltas >= 1, "no delta arrived"
+    # under CPU contention a round can outlive the 90 s poll, so later
+    # uplinks' rounds may still be in flight — drain them all before
+    # comparing against the server's final state
+    deltas += client.drain(grace=420.0, expect=sent, max_quiet=180.0)
+    assert deltas == sent, (deltas, sent)
     assert client.deltas_applied == deltas
     assert client.downlink_bits > 0
 
@@ -247,3 +253,120 @@ def test_live_client_fault_isolation():
     assert "good" in server.final_vars
     with pytest.raises(RuntimeError, match="bad"):
         server.join(timeout=1.0)
+
+
+def test_live_daemon_serves_sequential_clients():
+    """max_clients is a CONCURRENCY cap, not a lifetime quota: a
+    max_clients=1 daemon keeps serving client N+1 after each disconnect
+    (the r2 accept loop exited after one accepted session)."""
+    server = LiveServer(_stub_labeler, max_clients=1)
+    server.serve_in_background()
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8)
+    for j in range(3):
+        c = LiveClient(server.address, exp_num=90, height=32,
+                       strategy="full_model", iters=1, batch_size=2,
+                       train_period=1, checkpoint="synthetic",
+                       client_id="seq%d" % j)
+        c.send_samples(frames, 0.0)
+        assert c.poll_deltas(timeout=120.0) == 1
+        c.close()
+        server.join(timeout=60.0)  # session epilogue done -> slot free
+    assert server.sessions_served >= 3
+    for j in range(3):
+        assert "seq%d" % j in server.final_vars
+    server.close(grace=10.0)
+
+
+def test_live_busy_rejection_and_graceful_shutdown():
+    """Over-cap connections get an immediate 'Q' busy notice (no silent
+    backlog); close() drains a live session through its normal epilogue."""
+    server = LiveServer(_stub_labeler, max_clients=1)
+    server.serve_in_background()
+    hold = LiveClient(server.address, exp_num=90, height=32,
+                      strategy="full_model", iters=1, batch_size=2,
+                      train_period=1, checkpoint="synthetic",
+                      client_id="hold")
+    with pytest.raises(ConnectionError, match="busy"):
+        LiveClient(server.address, exp_num=90, height=32,
+                   iters=1, batch_size=2, checkpoint="synthetic",
+                   client_id="extra")
+    server.close(grace=30.0)
+    # the held session was shut down cleanly: epilogue ran, state captured
+    assert "hold" in server.final_vars
+    assert not server.client_errors
+    hold.close()
+
+
+def test_live_checkpoint_path_rejected():
+    """The hello 'checkpoint' field must never reach the filesystem as a
+    raw path (np.load(allow_pickle) on attacker-chosen files + snapshot
+    exfiltration).  Only 'synthetic', or a bare name when the server has a
+    checkpoint_dir, is accepted."""
+    server = LiveServer(_stub_labeler, max_clients=2)
+    server.serve_in_background()
+    for ck in ("/etc/passwd", "../secrets.npy", "a/b.npy",
+               "plain_name"):  # plain name: no checkpoint_dir configured
+        with pytest.raises(ConnectionError, match="rejected"):
+            LiveClient(server.address, exp_num=90, height=32,
+                       iters=1, batch_size=2, checkpoint=ck,
+                       client_id="attacker")
+    # the well-formed path still works after the rejects
+    ok = LiveClient(server.address, exp_num=90, height=32,
+                    strategy="full_model", iters=1, batch_size=2,
+                    train_period=1, checkpoint="synthetic", client_id="ok")
+    assert ok.network.get_vars()
+    ok.close()
+    server.close(grace=10.0)
+
+
+def test_live_checkpoint_dir_lookup(tmp_path):
+    """With a server-side checkpoint_dir, clients select checkpoints BY
+    NAME; the resolved file deploys as the initial snapshot."""
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+    import jax
+
+    params = {k: np.asarray(v) for k, v in
+              init_student_params(jax.random.PRNGKey(42)).items()}
+    np.save(tmp_path / "studentA.npy", params)
+
+    server = LiveServer(_stub_labeler, max_clients=1,
+                        checkpoint_dir=str(tmp_path))
+    server.serve_in_background()
+    c = LiveClient(server.address, exp_num=90, height=32,
+                   strategy="full_model", iters=1, batch_size=2,
+                   train_period=1, checkpoint="studentA.npy",
+                   client_id="named")
+    got = c.network.get_vars()
+    np.testing.assert_array_equal(got["logits/semantic/weights"],
+                                  params["logits/semantic/weights"])
+    c.close()
+    server.close(grace=10.0)
+
+
+def test_live_oversized_message_rejected():
+    """A hostile length prefix (multi-GB) must not cause an allocation:
+    the connection is dropped pre-hello and the server keeps serving."""
+    import socket as socklib
+    import struct
+
+    server = LiveServer(_stub_labeler, max_clients=1)
+    server.serve_in_background()
+    probe = socklib.create_connection(tuple(server.address))
+    probe.sendall(struct.pack(">cQ", b"H", 1 << 40))  # 1 TB claim
+    # server drops the connection without reading/allocating the payload
+    probe.settimeout(30.0)
+    try:
+        data = probe.recv(1)  # EOF (or RST, if unread bytes were pending)
+    except OSError:
+        data = b""
+    assert data == b""
+    probe.close()
+    assert server.error is None
+
+    ok = LiveClient(server.address, exp_num=90, height=32,
+                    strategy="full_model", iters=1, batch_size=2,
+                    train_period=1, checkpoint="synthetic", client_id="ok2")
+    assert ok.network.get_vars()
+    ok.close()
+    server.close(grace=10.0)

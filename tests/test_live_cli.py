@@ -51,12 +51,16 @@ def _wait_listening(port, deadline=120.0):
     raise TimeoutError("server never started listening on %d" % port)
 
 
-def _serve(port, resume_dir):
+def _serve(port, resume_dir, log_path):
+    # stdout goes to a FILE, not a pipe: XLA can emit hundreds of KB of
+    # warnings (e.g. compile-cache CPU-feature mismatches), and an
+    # undrained 64 KB pipe would block the server mid-startup — the edge
+    # then hangs forever waiting for its initial model
     return subprocess.Popen(
         [sys.executable, os.path.join(ROOT, "cli", "serve.py"),
          "--host", "127.0.0.1", "--port", str(port), "--max_clients", "1",
          "--resume_dir", resume_dir],
-        env=_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=_env(), stdout=open(log_path, "w"), stderr=subprocess.STDOUT,
         text=True)
 
 
@@ -80,14 +84,16 @@ def test_live_cli_session_and_resume(tmp_path):
     art = str(tmp_path / "art")
     port = _free_port()
 
-    srv = _serve(port, resume_dir)
+    srv = _serve(port, resume_dir, str(tmp_path / "srv1.log"))
     try:
         _wait_listening(port)
         r1 = _edge(port, video, art, max_seconds=7)
         assert r1.returncode == 0, r1.stdout + r1.stderr
         assert "deltas applied" in r1.stdout
-        srv_out, _ = srv.communicate(timeout=60)
-        assert "served" in srv_out
+        # the server is a daemon now (serves until SIGTERM); graceful stop
+        srv.terminate()
+        assert srv.wait(timeout=240) == 0
+        assert "served" in (tmp_path / "srv1.log").read_text()
     finally:
         if srv.poll() is None:
             srv.kill()
@@ -110,14 +116,15 @@ def test_live_cli_session_and_resume(tmp_path):
     # restart: a fresh server process on the same resume_dir hands the
     # reconnecting client_id its session; the edge fast-forwards
     port2 = _free_port()
-    srv2 = _serve(port2, resume_dir)
+    srv2 = _serve(port2, resume_dir, str(tmp_path / "srv2.log"))
     try:
         _wait_listening(port2)
         r2 = _edge(port2, video, str(tmp_path / "art2"), max_seconds=12)
         assert r2.returncode == 0, r2.stdout + r2.stderr
         assert "resumed session at t=" in r2.stdout, r2.stdout
-        srv2_out, _ = srv2.communicate(timeout=60)
-        assert "served" in srv2_out
+        srv2.terminate()
+        assert srv2.wait(timeout=240) == 0
+        assert "served" in (tmp_path / "srv2.log").read_text()
     finally:
         if srv2.poll() is None:
             srv2.kill()
