@@ -67,8 +67,15 @@ def pack_payload(masks: Sequence[np.ndarray],
             buf.write(picked.astype(np.float16).tobytes())
         elif wire_dtype == "int8":
             picked = picked.astype(np.float32)
-            scale = float(np.max(np.abs(picked))) / 127.0 \
-                if picked.size else 0.0
+            maxabs = float(np.max(np.abs(picked))) if picked.size else 0.0
+            if not np.isfinite(maxabs):
+                # a NaN/Inf parameter (diverged round) would make the scale
+                # non-finite and silently corrupt the whole payload — the
+                # quantized bytes round-trip to garbage without any error
+                raise ValueError(
+                    "non-finite parameter values in int8 delta "
+                    "(max|v|=%r); refusing to quantize" % maxabs)
+            scale = maxabs / 127.0
             buf.write(np.float32(scale).tobytes())
             if picked.size:
                 q = np.clip(np.round(picked / scale) if scale else picked,

@@ -32,7 +32,10 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
-FFMPEG = shutil.which("ffmpeg") or "/usr/bin/ffmpeg"
+# AMS_FFMPEG overrides binary resolution (tests inject an instrumented
+# double; deployments can pin a specific build)
+FFMPEG = (os.environ.get("AMS_FFMPEG") or shutil.which("ffmpeg")
+          or "/usr/bin/ffmpeg")
 
 
 @dataclasses.dataclass
@@ -104,6 +107,12 @@ def encode_h264_bytes(frames_bgr: List[np.ndarray], bitrate_kbps: float,
             exact = False
         with open(out_file, "rb") as f:
             blob = f.read()
+        if not blob:
+            # an empty payload would silently decode to zero frames: the
+            # server's round never fires and the edge drain blocks for its
+            # whole grace waiting for a delta that can't come
+            raise IOError("uplink encoder produced an empty payload "
+                          "(%s)" % ("ffmpeg" if exact else "cv2"))
         return blob, exact
     finally:
         cleanup()
@@ -169,8 +178,17 @@ def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
                     for f in frames_bgr:
                         proc.stdin.write(f.tobytes())
                     proc.stdin.close()
-                    proc.wait()
+                    rc = proc.wait()
                     proc.terminate()
+                    if rc != 0:
+                        # deliberate deviation from the reference, which
+                        # ignores the exit status (run.py:249-252) and
+                        # would ship a truncated/empty payload: a crashed
+                        # encoder must fail the period loudly, not stall
+                        # the downstream training schedule
+                        raise RuntimeError(
+                            "ffmpeg pass exited rc=%d: %s"
+                            % (rc, " ".join(cmd)))
             return
         except BrokenPipeError:
-            continue
+            continue  # pipe contention: reference's retry-forever loop
