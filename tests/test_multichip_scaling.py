@@ -1,0 +1,89 @@
+"""Virtual-mesh scaling sanity for the multi-video round (VERDICT r2 next
+#7): V=8 independent students on 8 devices must run CONCURRENTLY under
+shard_map, not as 8 serialized rounds.
+
+Virtual CPU devices share the host's cores, so per-video flatness vs V=1
+cannot hold exactly — but a serialized implementation would cost ~V x the
+single-video round, while a parallel one costs far less (the 8 per-device
+programs share the pool that one device would otherwise use whole).  The
+gate is the generous middle: t(V=8 on 8 devices) < 4 x t(V=1 on 1 device).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ams_tpu.distill.optimizer import adam_init
+from ams_tpu.distill.train_step import (
+    DistillSpec,
+    all_true_mask,
+    make_distill_round,
+    split_params,
+)
+from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+
+pytestmark = pytest.mark.slow
+
+
+def _best_of(call, n=3):
+    jax.block_until_ready(call())  # compile + warm
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(call())
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def test_multi_video_round_parallelizes():
+    from ams_tpu.parallel.mesh import make_mesh
+    from ams_tpu.parallel.sharded import make_multi_video_round, stack_videos
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    spec = DistillSpec(iters=4, batch_size=2, num_classes=19,
+                       class_indices=(0, 1, 2, 10, 11, 13),
+                       strategy="full_model", compute_dtype="bfloat16")
+    rng = np.random.RandomState(0)
+    cap, H, W = 4, 64, 128
+
+    # single video on one device
+    params = init_student_params(jax.random.PRNGKey(0))
+    opt = adam_init(split_params(params)[0])
+    frames = jnp.asarray(rng.randint(0, 256, (cap, H, W, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.randint(0, 19, (cap, H, W)), jnp.uint8)
+    single = make_distill_round(spec)
+    t1 = _best_of(lambda: single(params, opt, frames, labels,
+                                 jnp.int32(cap), jax.random.PRNGKey(1),
+                                 jnp.float32(1e-3),
+                                 all_true_mask(params))[3])
+
+    # 8 videos on 8 devices
+    V = 8
+    mesh = make_mesh(V, model_parallelism=1)
+    mv = make_multi_video_round(spec, mesh)
+    videos = [init_student_params(jax.random.PRNGKey(i)) for i in range(V)]
+    params_V = stack_videos(videos)
+    opt_V = stack_videos([adam_init(split_params(p)[0]) for p in videos])
+    mask_V = stack_videos([all_true_mask(p) for p in videos])
+    frames_V = jnp.asarray(rng.randint(0, 256, (V, cap, H, W, 3)),
+                           jnp.uint8)
+    labels_V = jnp.asarray(rng.randint(0, 19, (V, cap, H, W)), jnp.uint8)
+    n_valid_V = jnp.full((V,), cap, jnp.int32)
+    rngs_V = jax.random.split(jax.random.PRNGKey(0), V)
+    with mesh:
+        t8 = _best_of(lambda: mv(params_V, opt_V, frames_V, labels_V,
+                                 n_valid_V, rngs_V, jnp.float32(1e-3),
+                                 mask_V)[3])
+
+    per_video_ratio = t8 / t1
+    print("single-video round %.3fs; 8 videos on 8 devices %.3fs "
+          "(%.2fx the single round; serialized would be ~8x)"
+          % (t1, t8, per_video_ratio))
+    assert t8 < 4.0 * t1, (t8, t1)

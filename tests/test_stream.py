@@ -165,3 +165,99 @@ def test_prefetching_reader_surfaces_worker_errors(tmp_path):
             saw_end = True
             break
     assert saw_end
+
+
+# ---- controller long-horizon traces (VERDICT r2 next #9) -----------------
+
+def test_asr_atr_long_horizon_hand_trace():
+    """Drive ASR+ATR with scripted phi sequences through a full hibernation
+    enter/exit cycle and assert the EXACT hand-computed trace (reference
+    law: send_rate -= 0.2*tanh((phi-0.6)*20) clip [0.1,1], run.py:279-290;
+    hibernation enter mean<0.25 / exit mean>0.35 over a 5-deep history,
+    +2 s growth capped at 6x base, run.py:292-307)."""
+    from ams_tpu.stream.controllers import ASRController, ATRController
+
+    asr = ASRController(1.0)
+    atr = ATRController(10)
+
+    phis = [0.9] * 8 + [0.2] * 6
+    # literals computed independently from the reference formulas
+    expect_rates = [0.8000024577, 0.6000049153, 0.400007373, 0.2000098307,
+                    0.1, 0.1, 0.1, 0.1,
+                    0.299999955, 0.49999991, 0.699999865, 0.8999998199,
+                    1.0, 1.0]
+    expect_hib = [False] * 6 + [True] * 5 + [False] * 3
+    expect_period = [10, 10, 10, 10, 10, 10, 12, 14, 16, 18, 20, 10, 10, 10]
+
+    for i, phi in enumerate(phis):
+        rate = asr.update([phi])  # phi = mean cross-mIoU of the event
+        assert abs(rate - expect_rates[i]) < 1e-9, (i, rate)
+        atr.observe_send_rate(rate)
+        period = atr.update()
+        assert atr.hibernating == expect_hib[i], i
+        assert period == expect_period[i], (i, period)
+
+
+def test_atr_growth_cap_and_schedule_rewrite_long_run():
+    """150 events of sustained hibernation: the period grows +2 per event
+    and saturates at 6x base; each event's save_range rewrite keeps the
+    past, starts at 'now' and steps by the current period (run.py:303-307)."""
+    from ams_tpu.stream.controllers import ATRController
+
+    base, end = 10, 2000
+    atr = ATRController(base)
+    save_range = list(range(100, end, base))
+    expected_periods = []
+    cur = base
+    for _ in range(150):
+        cur = min(cur + 2, 6 * base)
+        expected_periods.append(cur)
+
+    now = 100
+    for k in range(150):
+        atr.observe_send_rate(0.1)  # pinned at the ASR floor
+        period = atr.update()
+        assert period == expected_periods[k], (k, period)
+        save_range = atr.rewrite_schedule(save_range, now, end)
+        # the rewrite keeps history, restarts at now, steps by period
+        past = [t for t in save_range if t < now]
+        future = [t for t in save_range if t >= now]
+        assert future == list(range(now, end, period))
+        assert past == sorted(past)
+        # next event: the schedule's next entry after now
+        nxt = [t for t in save_range if t > now]
+        if not nxt:
+            break
+        now = nxt[0]
+    assert atr.current == 6 * base  # saturated at the cap
+    # saturated tail: events step by exactly 60 s
+    tail = [t for t in save_range if t >= now - 6 * base]
+    assert all(b - a == 6 * base for a, b in zip(tail, tail[1:]))
+
+
+def test_atr_repeated_hibernation_cycles():
+    """Three full enter/exit cycles over 100+ events: every exit resets the
+    period to base; every re-entry regrows from base+2 (the reference
+    resets train_period_current on exit, run.py:297-299)."""
+    from ams_tpu.stream.controllers import ATRController
+
+    atr = ATRController(10)
+    periods = []
+    for cycle in range(3):
+        for _ in range(30):   # starve: rates at the floor (25+ events to cap)
+            atr.observe_send_rate(0.1)
+            periods.append(atr.update())
+        assert atr.hibernating
+        assert periods[-1] == 60  # saturated each cycle
+        for _ in range(20):   # recover: rates at the ceiling
+            atr.observe_send_rate(1.0)
+            periods.append(atr.update())
+        assert not atr.hibernating
+        assert periods[-1] == 10  # reset to base on exit
+    assert len(periods) == 150
+    # growth from base+2 after each re-entry, never from the stale value
+    for cycle in range(1, 3):
+        start = cycle * 50
+        first_hib = next(i for i in range(start, start + 30)
+                         if periods[i] != 10)
+        assert periods[first_hib] == 12, periods[start:start + 6]
