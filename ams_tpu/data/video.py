@@ -202,12 +202,21 @@ def write_synthetic_clip(path: str, *, seconds: int = 4, fps: int = 10,
                          gt_dir: Optional[str] = None,
                          num_classes: int = 19,
                          label_values: Optional[Sequence[int]] = None,
+                         style: str = "sines",
                          ) -> Tuple[str, Optional[str]]:
     """Generate a deterministic moving-pattern mp4 (+ optional gt pngs).
 
-    The clip shows smooth horizontally-drifting color bands so that online
-    distillation has learnable temporal structure; labels quantize the
-    pattern into ``num_classes`` horizontal strata.
+    ``style="sines"`` (default): smooth horizontally-drifting interference
+    bands; labels quantize a drifting vertical coordinate into
+    ``num_classes`` strata.  Good for artifact/schedule tests, but the
+    label is NOT a function of local appearance (the label phase drifts at
+    a different rate than the color phases), so online distillation can
+    only partially fit it — don't use it to assert learnability.
+
+    ``style="bands"``: drifting horizontal strata where each class paints
+    ONE distinct color (appearance <-> class is a bijection), so a short
+    distillation round learns it to high mIoU — the fixture for end-to-end
+    learning gates (tests/test_learning_gate.py).
     """
     if cv2 is None:
         raise RuntimeError("OpenCV is required for video IO")
@@ -223,16 +232,31 @@ def write_synthetic_clip(path: str, *, seconds: int = 4, fps: int = 10,
     phase = rng.rand() * 6.28
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     n = seconds * fps
+    n_vals = len(label_values) if label_values else num_classes
+    # distinct, well-separated colors per class (bands style): fixed
+    # permuted hues at two brightness tiers
+    palette = np.stack([
+        np.asarray([37 * (i + 3) % 256 for i in range(n_vals)]),
+        np.asarray([61 * (i + 5) % 256 for i in range(n_vals)]),
+        np.asarray([89 * (i + 7) % 256 for i in range(n_vals)]),
+    ], axis=-1).astype(np.float32)
     for t in range(n):
         shift = t * 3.0
-        r = 127 + 120 * np.sin((xx + shift) / 23.0 + phase)
-        g = 127 + 120 * np.sin((yy + 0.5 * shift) / 17.0)
-        b = 127 + 120 * np.sin((xx + yy + shift) / 31.0)
-        frame = np.stack([b, g, r], axis=-1).astype(np.uint8)
+        strata = ((yy + shift) / h * n_vals).astype(np.int64) % n_vals
+        if style == "bands":
+            base = palette[strata]  # (h, w, 3) one color per class
+            # mild texture + noise so the task isn't a pure lookup
+            tex = 12 * np.sin((xx + 2 * t) / 9.0)
+            frame = np.clip(base + tex[..., None]
+                            + rng.normal(0, 4, base.shape), 0,
+                            255).astype(np.uint8)[..., ::-1]  # RGB->BGR
+        else:
+            r = 127 + 120 * np.sin((xx + shift) / 23.0 + phase)
+            g = 127 + 120 * np.sin((yy + 0.5 * shift) / 17.0)
+            b = 127 + 120 * np.sin((xx + yy + shift) / 31.0)
+            frame = np.stack([b, g, r], axis=-1).astype(np.uint8)
         writer.write(frame)
         if gt_dir is not None:
-            n_vals = len(label_values) if label_values else num_classes
-            strata = ((yy + shift) / h * n_vals).astype(np.int64) % n_vals
             if label_values:
                 label = np.asarray(label_values, np.uint8)[strata]
             else:

@@ -50,6 +50,11 @@ class RunConfig:
     # (trim_graph_frozen analog); False keeps the raw bit-parity form
     resume: bool = False               # continue from the last saved event
     resume_every_event: bool = True    # persist a resume bundle per event
+    stats_annex: bool = True           # append BN moving stats to coord
+    # deltas (wire extension; see stream/codec.py STATS_MAGIC).  The
+    # reference's coord payload omits them, so its wire cannot reconstruct
+    # the deployed model.  False restores byte-identical reference
+    # payloads (and the reference's bug).
     trace_dir: str = ""                # JAX profiler trace output (xprof)
 
     def validate(self):

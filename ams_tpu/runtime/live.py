@@ -52,6 +52,7 @@ import numpy as np
 from ams_tpu import configs as exp_configs
 from ams_tpu.data.buffers import FrameMemory
 from ams_tpu.runtime.network import SemanticNetwork
+from ams_tpu.models.var_order import STATS_ORDER
 from ams_tpu.stream.codec import delta_order, encode_delta
 
 _HDR = struct.Struct(">cQ")
@@ -465,10 +466,19 @@ class LiveServer:
                                             st.strategy)
             names = delta_order(st.strategy,
                                 present=st.network.params.keys())
+            # the live loop is a real delta consumer, so coord payloads
+            # always carry the BN moving-stats annex — without it the
+            # client runs new weights against stale normalizers
+            # (stream/codec.py STATS_MAGIC)
+            stats = None
+            if st.strategy != "full_model":
+                host = st.network.get_vars()
+                stats = {k: host[k] for k in STATS_ORDER if k in host}
             blob = encode_delta(dict(zip(names, st.network.train_params)),
                                 dict(zip(names, st.network.curr_mask)),
                                 strategy=st.strategy,
-                                wire_dtype=st.wire_dtype)
+                                wire_dtype=st.wire_dtype,
+                                stats=stats)
             try:
                 send_msg(conn, b"D", blob)
             except (BrokenPipeError, ConnectionResetError):

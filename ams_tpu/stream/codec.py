@@ -26,7 +26,24 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ams_tpu.models.var_order import SAVEABLE_ORDER, TRAINABLE_ORDER
+from ams_tpu.models.var_order import (
+    SAVEABLE_ORDER,
+    STATS_ORDER,
+    TRAINABLE_ORDER,
+)
+
+# Stats-annex magic (wire extension, version 1).  The reference's
+# coord-descent payload cannot reconstruct the deployed model: BN moving
+# statistics advance during training (control-dep updates are never
+# masked/reverted) but curr_mask iterates only grad_masks_pl — the
+# trainables (SemanticNetwork.py:290-294) — so a real delta consumer would
+# run the new weights against STALE normalizer stats (measured: 73% pixel
+# agreement with the deploy after one synthetic-init round).  full_model
+# payloads don't have the gap (save_vars includes the stats, all-ones
+# masks).  The annex appends the fp16 moving stats after the reference-
+# compatible sections, inside the same gzip stream; decode auto-detects
+# it, and payloads without it remain byte-identical to the reference.
+STATS_MAGIC = b"AMSB"
 
 
 def delta_order(strategy: str, present=None) -> List[str]:
@@ -86,16 +103,37 @@ def pack_payload(masks: Sequence[np.ndarray],
     return buf.getvalue()
 
 
+def pack_stats_annex(stats: Dict[str, np.ndarray]) -> bytes:
+    """Stats-annex section: magic + version + var count + fp16 dense
+    values for every STATS_ORDER var present in ``stats`` (dense — the
+    stats have no mask; they always all advance).  Both ends derive the
+    var list from var_order, so only the count is on the wire; a count
+    mismatch fails loudly at decode instead of silently mis-slicing."""
+    names = [n for n in STATS_ORDER if n in stats]
+    buf = io.BytesIO()
+    buf.write(STATS_MAGIC)
+    buf.write(np.uint8(1).tobytes())
+    buf.write(np.uint32(len(names)).tobytes())
+    for n in names:
+        buf.write(np.asarray(stats[n]).astype(np.float16).tobytes())
+    return buf.getvalue()
+
+
 def encode_delta(params: Dict[str, np.ndarray],
                  masks: Optional[Dict[str, np.ndarray]],
                  strategy: str = "full_model",
                  use_native: bool = True,
-                 wire_dtype: str = "float16") -> bytes:
+                 wire_dtype: str = "float16",
+                 stats: Optional[Dict[str, np.ndarray]] = None) -> bytes:
     """Gzip'd downlink payload for one training round.
 
     params: post-round parameter dict (flat TF names).
     masks: bool dict over trainable params (None -> all-ones, full_model).
     wire_dtype: "float16" (reference format) or "int8" (see pack_payload).
+    stats: optional BN moving statistics to append as the stats annex
+        (see STATS_MAGIC above) — without them a coord-descent delta
+        cannot reconstruct the deployed model.  None (default) keeps the
+        payload byte-identical to the reference wire.
     """
     order = delta_order(strategy, present=params)
     mask_list, value_list = [], []
@@ -108,6 +146,12 @@ def encode_delta(params: Dict[str, np.ndarray],
         mask_list.append(m)
         value_list.append(v)
     raw = pack_payload(mask_list, value_list, wire_dtype=wire_dtype)
+    if stats is not None:
+        if strategy == "full_model":
+            raise ValueError(
+                "full_model payloads already carry the moving statistics "
+                "(SAVEABLE_ORDER); the stats annex is for coord strategies")
+        raw += pack_stats_annex(stats)
     if use_native:
         try:
             from ams_tpu.native import codec as native_codec
@@ -165,6 +209,29 @@ def decode_delta(blob: bytes,
             raise ValueError("unknown wire_dtype %r" % wire_dtype)
         dense[m] = vals
         values[name] = dense
+    if off < len(raw) and raw[off:off + 4] == STATS_MAGIC:
+        # stats annex (wire extension): dense fp16 moving statistics, in
+        # STATS_ORDER.  Returned as all-ones-masked dense vars so
+        # apply_delta overlays them like any other section.
+        off += 4
+        version = raw[off]
+        off += 1
+        if version != 1:
+            raise ValueError("unknown stats annex version %d" % version)
+        count = int(np.frombuffer(raw, np.uint32, count=1, offset=off)[0])
+        off += 4
+        names = [n for n in STATS_ORDER if n in shapes]
+        if count != len(names):
+            raise ValueError(
+                "stats annex var count %d != decoder's %d — encoder and "
+                "decoder disagree on the moving-statistics inventory"
+                % (count, len(names)))
+        for name in names:
+            n = int(np.prod(shapes[name]))
+            vals = np.frombuffer(raw, np.float16, count=n, offset=off)
+            off += n * 2
+            masks[name] = np.ones(shapes[name], bool)
+            values[name] = vals.reshape(shapes[name]).copy()
     if off != len(raw):
         raise ValueError("trailing bytes in delta payload: %d" %
                          (len(raw) - off))

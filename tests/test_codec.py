@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from ams_tpu.stream.codec import (
+    STATS_MAGIC,
     apply_delta,
     decode_delta,
     delta_order,
@@ -15,7 +16,11 @@ from ams_tpu.stream.codec import (
     pack_payload,
     payload_bits,
 )
-from ams_tpu.models.var_order import SAVEABLE_ORDER, TRAINABLE_ORDER
+from ams_tpu.models.var_order import (
+    SAVEABLE_ORDER,
+    STATS_ORDER,
+    TRAINABLE_ORDER,
+)
 
 
 def _reference_payload(masks, values):
@@ -135,6 +140,88 @@ def test_int8_wire_empty_and_zero_scale():
                         wire_dtype="int8")
     assert not m[TRAINABLE_ORDER[0]].any()
     np.testing.assert_array_equal(v[TRAINABLE_ORDER[1]], np.zeros(3))
+
+
+def _stats_fixture(n_train=3, n_stats=4, seed=5):
+    rng = np.random.RandomState(seed)
+    shapes = {n: (6, 2) for n in TRAINABLE_ORDER[:n_train]}
+    shapes.update({n: (8,) for n in STATS_ORDER[:n_stats]})
+    params = {n: rng.randn(*shapes[n]).astype(np.float32)
+              for n in TRAINABLE_ORDER[:n_train]}
+    masks = {n: rng.rand(*params[n].shape) > 0.5 for n in params}
+    stats = {n: (1 + rng.rand(*shapes[n])).astype(np.float32)
+             for n in STATS_ORDER[:n_stats]}
+    return shapes, params, masks, stats
+
+
+def test_stats_annex_roundtrip():
+    """Wire extension: coord payloads carry the BN moving statistics as a
+    dense fp16 annex; decode returns them all-ones-masked so apply_delta
+    overlays them like any other section (the reference wire omits them,
+    leaving a real delta consumer with stale normalizers)."""
+    shapes, params, masks, stats = _stats_fixture()
+    blob = encode_delta(params, masks, strategy="coord_desc_auto",
+                        stats=stats)
+    dmasks, dvalues = decode_delta(blob, shapes, strategy="coord_desc_auto")
+    for n in stats:
+        assert dmasks[n].all() and dmasks[n].shape == stats[n].shape
+        np.testing.assert_array_equal(dvalues[n],
+                                      stats[n].astype(np.float16))
+    # trainable sections are untouched by the annex
+    for n in params:
+        np.testing.assert_array_equal(dmasks[n], masks[n])
+    # apply overlays the stats ABSOLUTELY (they are values, not deltas)
+    client = {n: np.zeros(s, np.float32) for n, s in shapes.items()}
+    out = apply_delta(client, dmasks, dvalues)
+    for n in stats:
+        np.testing.assert_array_equal(
+            out[n], stats[n].astype(np.float16).astype(np.float32))
+
+
+def test_stats_annex_absent_keeps_reference_bytes():
+    """stats=None (and any pre-annex payload) stays byte-identical to the
+    reference wire: no magic, no stats keys in the decode."""
+    shapes, params, masks, stats = _stats_fixture()
+    plain = encode_delta(params, masks, strategy="coord_desc_auto",
+                         use_native=False)
+    raw = gzip.decompress(plain)
+    assert STATS_MAGIC not in raw[-16:]
+    train_shapes = {n: shapes[n] for n in params}
+    dmasks, _ = decode_delta(plain, train_shapes,
+                             strategy="coord_desc_auto")
+    assert set(dmasks) == set(params)
+
+
+def test_stats_annex_rejects_full_model():
+    shapes, params, masks, stats = _stats_fixture()
+    full = {n: np.zeros(shapes.get(n, (2,)), np.float32)
+            for n in list(params) + list(stats)}
+    with pytest.raises(ValueError, match="full_model"):
+        encode_delta(full, None, strategy="full_model", stats=stats)
+
+
+def test_stats_annex_count_mismatch_fails_loudly():
+    """Encoder shipping fewer stats vars than the decoder expects must
+    raise (both ends derive the inventory from var_order; silent
+    mis-slicing would corrupt every downstream var)."""
+    shapes, params, masks, stats = _stats_fixture(n_stats=4)
+    partial = {n: stats[n] for n in list(stats)[:2]}
+    blob = encode_delta(params, masks, strategy="coord_desc_auto",
+                        stats=partial)
+    with pytest.raises(ValueError, match="stats annex var count"):
+        decode_delta(blob, shapes, strategy="coord_desc_auto")
+
+
+def test_stats_annex_native_python_agree():
+    """The annex rides inside the same gzip stream — the native encoder
+    path must produce the identical decompressed payload."""
+    pytest.importorskip("ams_tpu.native.codec")
+    shapes, params, masks, stats = _stats_fixture(seed=9)
+    py = encode_delta(params, masks, strategy="coord_desc_auto",
+                      stats=stats, use_native=False)
+    nat = encode_delta(params, masks, strategy="coord_desc_auto",
+                       stats=stats, use_native=True)
+    assert gzip.decompress(py) == gzip.decompress(nat)
 
 
 def test_fp16_wire_single_rounding_for_f64_params():

@@ -68,15 +68,18 @@ def test_live_streaming_loop():
     server.join(timeout=60.0)
 
     # client parameters == server's post-round student at fp16 wire
-    # precision wherever the delta mask selected; BN moving stats are not
-    # part of the coord payload
+    # precision wherever the delta mask selected; the BN moving stats ride
+    # the coord payload's stats annex (stream/codec.py STATS_MAGIC), so
+    # they must equal the server's FINAL stats too — not the initials
     cli = client.network.get_vars()
     srv = server.final_vars["edge0"]
     checked = 0
     for k, sv in srv.items():
-        if "moving_" in k:
-            continue
         cv = cli[k]
+        if "moving_" in k:
+            np.testing.assert_array_equal(
+                cv, np.asarray(sv).astype(np.float16).astype(cv.dtype))
+            continue
         changed = cv != initial[k]
         if changed.any():
             np.testing.assert_allclose(cv[changed], sv[changed], rtol=2e-3,
