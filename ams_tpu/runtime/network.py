@@ -97,23 +97,26 @@ class SemanticNetwork:
 
         if isinstance(meta_dir, dict):
             self.params = {k: jnp.asarray(v) for k, v in meta_dir.items()}
+        elif str(meta_dir) == "synthetic":
+            # explicit seeded random init (tests/bench; checkpoints without
+            # blobs).  This is opt-in by NAME only: a missing file path must
+            # raise, never silently hand back a fresh init — that once
+            # masked a mistyped deployment-artifact path as a "working"
+            # client at random-init accuracy.
+            self.params = init_student_params(
+                jax.random.PRNGKey(seed), num_classes=self.TOTAL_CLASSES)
         else:
-            try:
-                loaded = ckpt.load_any(str(meta_dir))
-                if is_folded(loaded):
-                    # BN-folded deployment artifact: take as-is (its key set
-                    # intentionally differs from the trainable inventory)
-                    self.params = {k: jnp.asarray(v)
-                                   for k, v in loaded.items()}
-                else:
-                    base = init_student_params(jax.random.PRNGKey(seed),
-                                               num_classes=self.TOTAL_CLASSES)
-                    self.params = {k: jnp.asarray(v) for k, v in
-                                   ckpt.merge_restore(base, loaded).items()}
-            except FileNotFoundError:
-                # synthetic fallback: checkpoints without blobs (tests/bench)
-                self.params = init_student_params(
-                    jax.random.PRNGKey(seed), num_classes=self.TOTAL_CLASSES)
+            loaded = ckpt.load_any(str(meta_dir))
+            if is_folded(loaded):
+                # BN-folded deployment artifact: take as-is (its key set
+                # intentionally differs from the trainable inventory)
+                self.params = {k: jnp.asarray(v)
+                               for k, v in loaded.items()}
+            else:
+                base = init_student_params(jax.random.PRNGKey(seed),
+                                           num_classes=self.TOTAL_CLASSES)
+                self.params = {k: jnp.asarray(v) for k, v in
+                               ckpt.merge_restore(base, loaded).items()}
 
         self._folded = is_folded(self.params)
         assert not (self._folded and not frozen), \

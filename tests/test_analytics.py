@@ -14,7 +14,7 @@ from ams_tpu.runtime.config import RunConfig, get_save_dir
 def fabricated(tmp_path):
     vid = str(tmp_path / "90-clip.mp4")
     write_synthetic_clip(vid, seconds=1, fps=5, size_hw=(32, 64))
-    cfg = RunConfig(input_video=vid, gt_video="", student_checkpoint="s",
+    cfg = RunConfig(input_video=vid, gt_video="", student_checkpoint="synthetic",
                     output_dir=str(tmp_path) + "/", send_period=2, height=32)
     fps = 5
     n_frames = 40 * fps  # enough to slice t in [8, 8+k2]

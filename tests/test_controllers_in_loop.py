@@ -19,7 +19,7 @@ def test_asr_atr_in_server_loop(tmp_path, capsys):
     out = str(tmp_path / "out") + "/"
     import os
     os.makedirs(out)
-    cfg = RunConfig(input_video=vid, gt_video=gt, student_checkpoint="syn",
+    cfg = RunConfig(input_video=vid, gt_video=gt, student_checkpoint="synthetic",
                     output_dir=out, memory_len=6, batch_size=2, iter=1,
                     height=64, lr=1e-3, send_period=1, train_period=2,
                     enable_ASR=True, enable_ATR=True, mode="simple")

@@ -16,7 +16,7 @@ def test_horizon_mode_end_to_end(tmp_path, capsys):
     gt = str(tmp_path / "gt") + "/"
     write_synthetic_clip(vid, seconds=8, fps=5, size_hw=(64, 128),
                          gt_dir=gt.rstrip("/"))
-    cfg = RunConfig(input_video=vid, gt_video=gt, student_checkpoint="syn",
+    cfg = RunConfig(input_video=vid, gt_video=gt, student_checkpoint="synthetic",
                     output_dir=str(tmp_path / "out") + "/",
                     memory_len=6, batch_size=2, iter=1, height=64, lr=1e-3,
                     send_period=2, train_period=2, mode="horizon",

@@ -28,7 +28,7 @@ def test_lvs_end_to_end(tmp_path):
     write_synthetic_clip(vid, seconds=8, fps=5, size_hw=(64, 128),
                          gt_dir=gt.rstrip("/"), label_values=[0, 1, 3])
     out = str(tmp_path / "out") + "/"
-    cfg = RunConfig(input_video=vid, gt_video=gt, student_checkpoint="syn",
+    cfg = RunConfig(input_video=vid, gt_video=gt, student_checkpoint="synthetic",
                     output_dir=out, memory_len=6, batch_size=2, iter=2,
                     height=64, lr=1e-3, send_period=5, train_period=2,
                     mode="early", early_cutoff_time=4)

@@ -16,7 +16,7 @@ def _cw(idx, n=19):
 
 @pytest.fixture(scope="module")
 def net():
-    return SemanticNetwork(meta_dir="nonexistent_synthetic",
+    return SemanticNetwork(meta_dir="synthetic",
                            class_weights_exp=_cw([0, 2, 10, 13]), height=32,
                            scale=[1], mini_batch_size=2, lr=1e-3)
 
@@ -114,3 +114,13 @@ def test_frozen_roundtrip(net, tmp_path):
     assert preds.shape == (1, 32, 64)
     with pytest.raises(AssertionError):
         client.train_with_deque([], [], 1)
+
+
+def test_missing_checkpoint_path_raises(tmp_path):
+    """A mistyped checkpoint path must raise, never silently hand back a
+    fresh synthetic init (that once scored a nonexistent "deployed"
+    artifact at random-init accuracy in the learning gate).  Synthetic
+    init is opt-in by the exact name "synthetic"."""
+    with pytest.raises(FileNotFoundError):
+        SemanticNetwork(meta_dir=str(tmp_path / "no_such_artifact"),
+                        class_weights_exp=_cw([0]), height=32, frozen=True)

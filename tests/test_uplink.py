@@ -146,7 +146,7 @@ def test_server_loop_with_compressed_uplink(tmp_path):
     out = str(tmp_path / "out") + "/"
     import os
     os.makedirs(out)
-    cfg = RunConfig(input_video=vid, gt_video=gt, student_checkpoint="syn",
+    cfg = RunConfig(input_video=vid, gt_video=gt, student_checkpoint="synthetic",
                     output_dir=out, memory_len=6, batch_size=2, iter=1,
                     height=64, lr=1e-3, send_period=5, train_period=2,
                     compress_uplink=True, uplink_bw=200, mode="early")
