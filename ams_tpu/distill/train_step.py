@@ -142,6 +142,19 @@ def make_distill_round(spec: DistillSpec):
     @functools.partial(jax.jit, static_argnames=("reselect",))
     def round_fn(params, opt_state, frames_buf, labels_buf, n_valid, rng, lr,
                  mask, reselect: bool = True, class_mask=None, idx_seq=None):
+        if idx_seq is not None:
+            # Trace-time shape gate: jit-indexing clamps out-of-bounds, so a
+            # too-short sequence would silently replay its last row for the
+            # remaining iterations instead of erroring.
+            if idx_seq.ndim != 2 or idx_seq.shape[1] != spec.batch_size:
+                raise ValueError(
+                    "idx_seq must be (iters, batch_size=%d); got %r"
+                    % (spec.batch_size, tuple(idx_seq.shape)))
+            if idx_seq.shape[0] < spec.iters:
+                raise ValueError(
+                    "idx_seq has %d rows but the round runs %d iterations — "
+                    "lax.scan would clamp and replay the last row"
+                    % (idx_seq.shape[0], spec.iters))
         params_t, bn_state = split_params(params)
         before = params_t  # round-start snapshot (auto reverts to this)
 

@@ -52,7 +52,6 @@ import numpy as np
 from ams_tpu import configs as exp_configs
 from ams_tpu.data.buffers import FrameMemory
 from ams_tpu.runtime.network import SemanticNetwork
-from ams_tpu.models.var_order import STATS_ORDER
 from ams_tpu.stream.codec import delta_order, encode_delta
 
 _HDR = struct.Struct(">cQ")
@@ -86,7 +85,10 @@ def _hello_error(hello: Dict, checkpoint_dir: Optional[str] = None
     # --checkpoint_dir.
     ck = hello.get("checkpoint")
     if ck is not None and ck != "synthetic":
-        if not _CLIENT_ID_RE.match(str(ck)):
+        # dots-only names ('..', '.') pass the character class but resolve
+        # OUTSIDE checkpoint_dir via os.path.join — the traversal this
+        # validation exists to close
+        if not _CLIENT_ID_RE.match(str(ck)) or set(str(ck)) <= {"."}:
             return ("checkpoint %r is not a plain name (clients select "
                     "checkpoints from the server's checkpoint_dir by name; "
                     "paths are not accepted)" % (ck,))
@@ -214,7 +216,8 @@ class LiveServer:
                  max_clients: int = 1, resume_dir: Optional[str] = None,
                  checkpoint_dir: Optional[str] = None,
                  default_checkpoint=None,
-                 idle_timeout: Optional[float] = None):
+                 idle_timeout: Optional[float] = None,
+                 handshake_timeout: float = 10.0):
         self.labeler = labeler
         self.max_clients = max_clients
         self.resume_dir = resume_dir  # per-client state bundles survive
@@ -225,6 +228,9 @@ class LiveServer:
         # 'checkpoint' names; None = only 'synthetic' accepted
         self.default_checkpoint = default_checkpoint  # operator-supplied
         self.idle_timeout = idle_timeout
+        self.handshake_timeout = handshake_timeout  # pre-hello recv bound:
+        # the handshake runs inline on the single accept thread, so a
+        # byte-less connection must time out, not wedge the daemon
         self._lsock = socket.create_server((host, port))
         self.address = self._lsock.getsockname()
         self._threads = []
@@ -326,9 +332,14 @@ class LiveServer:
                 self._threads = [t for t in self._threads if t.is_alive()]
                 # handshake inline: a stray connection (port scanner,
                 # health check) that closes or talks garbage must not burn
-                # a concurrency slot
+                # a concurrency slot.  Bounded: a peer that connects and
+                # sends NOTHING would otherwise wedge this single accept
+                # thread forever (it isn't in _active_conns yet, so not
+                # even close() could unblock it)
                 try:
+                    conn.settimeout(self.handshake_timeout)
                     mtype, payload = recv_msg(conn)
+                    conn.settimeout(None)
                     if mtype != b"H":
                         conn.close()
                         continue
@@ -472,8 +483,7 @@ class LiveServer:
             # (stream/codec.py STATS_MAGIC)
             stats = None
             if st.strategy != "full_model":
-                host = st.network.get_vars()
-                stats = {k: host[k] for k in STATS_ORDER if k in host}
+                stats = st.network.stats_vars()
             blob = encode_delta(dict(zip(names, st.network.train_params)),
                                 dict(zip(names, st.network.curr_mask)),
                                 strategy=st.strategy,

@@ -216,6 +216,15 @@ class SemanticNetwork:
         session trains with restore)."""
         return {k: np.asarray(v) for k, v in self._initial_params.items()}
 
+    def stats_vars(self):
+        """Host copy of ONLY the BN moving statistics (the stats-annex
+        payload, stream/codec.py STATS_MAGIC).  On the per-round hot path:
+        copies ~33k values instead of get_vars()' ~2M-parameter D2H."""
+        from ams_tpu.models.var_order import STATS_ORDER
+
+        return {k: np.asarray(self.params[k]) for k in STATS_ORDER
+                if k in self.params}
+
     def set_restore_target(self, params) -> None:
         """Override the restore_initial target.  The live resume protocol
         uses this: a reconnecting delta consumer's 'M' snapshot is the

@@ -31,7 +31,6 @@ from ams_tpu.data.video import (
 from ams_tpu.runtime.config import RunConfig, get_save_dir, print_process
 from ams_tpu.runtime.network import SemanticNetwork
 from ams_tpu.stream import uplink as uplink_codec
-from ams_tpu.models.var_order import STATS_ORDER
 from ams_tpu.stream.codec import encode_delta
 from ams_tpu.stream.controllers import ASRController, ATRController
 from ams_tpu.utils.trace import GLOBAL_TIMER
@@ -248,8 +247,7 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             # normalizers (stream/codec.py STATS_MAGIC).
             stats = None
             if cfg.stats_annex and cfg.train_strategy != "full_model":
-                host = network.get_vars()
-                stats = {k: host[k] for k in STATS_ORDER if k in host}
+                stats = network.stats_vars()
             with GLOBAL_TIMER.span("server/delta_encode"):
                 blob = encode_delta(params_by_name, masks_by_name,
                                     strategy=cfg.train_strategy,

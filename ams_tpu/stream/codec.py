@@ -43,6 +43,8 @@ from ams_tpu.models.var_order import (
 # masks).  The annex appends the fp16 moving stats after the reference-
 # compatible sections, inside the same gzip stream; decode auto-detects
 # it, and payloads without it remain byte-identical to the reference.
+# Wire cost at the real student (33,088 stats values in 108 tensors):
+# +51.8 KB ≈ +9.6% on a coord@10% payload (538 KB -> 590 KB gzip'd).
 STATS_MAGIC = b"AMSB"
 
 

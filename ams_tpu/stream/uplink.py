@@ -156,9 +156,17 @@ def encode_decode_h264(frames_bgr: List[np.ndarray], bitrate_kbps: float,
                         exact_reference_codec=exact)
 
 
+_MAX_PIPE_RETRIES = 5
+
+
 def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
     """Reference ffmpeg invocation: raw bgr24 on stdin, libx264 2-pass at the
-    target bitrate, retry forever on BrokenPipeError (run.py:200-252)."""
+    target bitrate, retrying on BrokenPipeError (run.py:200-252).  Deliberate
+    deviation: the reference retries FOREVER, but a broken pipe usually means
+    ffmpeg died deterministically (bad argv, unsupported format) — an
+    unbounded loop would respawn it at full speed until the process is
+    killed, so the retry is bounded and the final error carries ffmpeg's
+    exit code."""
     w, h = size_wh
     base = [FFMPEG, "-y", "-s", "%dx%d" % (w, h), "-pixel_format", "bgr24",
             "-f", "rawvideo", "-r", str(fps), "-i", "pipe:",
@@ -168,7 +176,9 @@ def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
             "-passlogfile", out_file + ".passlog"]
     passes = [base + ["-pass", "1", "-f", "mp4", "/dev/null"],
               base + ["-pass", "2", out_file]]
+    attempts = 0
     while True:
+        proc = cmd = None
         try:
             with open(os.devnull, "w") as devnull:
                 for cmd in passes:
@@ -190,5 +200,16 @@ def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
                             "ffmpeg pass exited rc=%d: %s"
                             % (rc, " ".join(cmd)))
             return
-        except BrokenPipeError:
-            continue  # pipe contention: reference's retry-forever loop
+        except BrokenPipeError as e:
+            # The write end broke because ffmpeg exited mid-stream; its exit
+            # code says why.  Transient pipe contention deserves a retry
+            # (the reference's loop, run.py:249-252); a deterministic death
+            # must surface, not spin.
+            rc = proc.wait() if proc is not None else None
+            attempts += 1
+            if attempts >= _MAX_PIPE_RETRIES:
+                raise RuntimeError(
+                    "ffmpeg stdin pipe broke %d times in a row (last exit "
+                    "rc=%s): %s" % (attempts, rc,
+                                    " ".join(cmd) if cmd else FFMPEG)) from e
+            continue

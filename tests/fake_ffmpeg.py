@@ -18,6 +18,9 @@ Control env vars:
                          exit(1) WITHOUT reading stdin — the parent's
                          write blocks on the full pipe and gets
                          BrokenPipeError, exercising the retry loop
+  FAKE_FFMPEG_FAIL_ALWAYS "1": exit(1) without reading stdin on EVERY
+                         invocation — the deterministic-death case the
+                         bounded retry must surface instead of spinning
   FAKE_FFMPEG_EMPTY      "1": pass 2 writes a zero-byte output (the
                          crashed-encoder case the empty-blob guard catches)
   FAKE_FFMPEG_EXIT       int: consume stdin normally then exit with this
@@ -35,6 +38,8 @@ def arg_after(argv, flag):
 
 def main():
     argv = sys.argv[1:]
+    if os.environ.get("FAKE_FFMPEG_FAIL_ALWAYS") == "1":
+        return 1  # never reads stdin -> parent BrokenPipeError, every time
     if os.environ.get("FAKE_FFMPEG_FAIL_ONCE"):
         marker = os.environ["FAKE_FFMPEG_FAIL_ONCE"]
         if not os.path.exists(marker):

@@ -41,6 +41,23 @@ def _run_round(params, frames, labels, strategy, iters=2, mask=None,
                     jax.random.PRNGKey(1), jnp.float32(1e-3), mask)
 
 
+def test_idx_seq_shape_gate(small_setup):
+    """A too-short or wrong-batch idx_seq must raise at trace time: jit
+    indexing clamps out-of-bounds, so a short sequence would otherwise
+    silently replay its last row for the remaining scan iterations."""
+    params, frames, labels = small_setup
+    spec = DistillSpec(iters=4, batch_size=3, class_indices=(0, 2),
+                       strategy="full_model")
+    round_fn = make_distill_round(spec)
+    train, _ = split_params(params)
+    args = (params, adam_init(train), frames, labels, jnp.int32(4),
+            jax.random.PRNGKey(1), jnp.float32(1e-3), all_true_mask(params))
+    with pytest.raises(ValueError, match="replay the last row"):
+        round_fn(*args, idx_seq=jnp.zeros((3, 3), jnp.int32))
+    with pytest.raises(ValueError, match="batch_size"):
+        round_fn(*args, idx_seq=jnp.zeros((4, 2), jnp.int32))
+
+
 @pytest.mark.slow
 def test_full_model_round(small_setup):
     params, frames, labels = small_setup

@@ -148,10 +148,18 @@ def test_live_hello_rejection():
 
     for bad in (dict(wire_dtype="fp8"),
                 dict(client_id="../../etc/passwd"),
-                dict(client_id="cam/1")):
+                dict(client_id="cam/1"),
+                # dots-only names pass the character class but resolve
+                # OUTSIDE checkpoint_dir via os.path.join — the traversal
+                # the plain-name validation exists to close
+                dict(checkpoint=".."),
+                dict(checkpoint="."),
+                dict(checkpoint="/etc/passwd")):
+        kw = dict(exp_num=90, height=32, iters=1, batch_size=2,
+                  checkpoint="synthetic")
+        kw.update(bad)
         with pytest.raises(ConnectionError, match="rejected"):
-            LiveClient(server.address, exp_num=90, height=32,
-                       iters=1, batch_size=2, checkpoint="synthetic", **bad)
+            LiveClient(server.address, **kw)
 
     # the slot is still free: a well-formed client connects and deploys
     client = LiveClient(server.address, exp_num=90, height=32,
@@ -160,6 +168,30 @@ def test_live_hello_rejection():
                         client_id="ok-1.2_3")
     assert client.network.get_vars()
     client.close()
+    server.join(timeout=60.0)
+
+
+def test_live_handshake_timeout():
+    """A peer that connects and sends NOTHING must not wedge the single
+    accept thread: it is not in _active_conns yet, so not even close()
+    could unblock it — the handshake recv is time-bounded instead, and the
+    next client is served once the silent peer is dropped."""
+    import socket as socklib
+
+    server = LiveServer(_stub_labeler, max_clients=1, handshake_timeout=1.0)
+    server.serve_in_background()
+    silent = socklib.create_connection(tuple(server.address))
+    try:
+        # the accept thread is now parked in the silent peer's handshake;
+        # a real client queued behind it must still get served
+        client = LiveClient(server.address, exp_num=90, height=32,
+                            strategy="full_model", iters=1, batch_size=2,
+                            train_period=1, checkpoint="synthetic",
+                            client_id="after-silent")
+        assert client.network.get_vars()
+        client.close()
+    finally:
+        silent.close()
     server.join(timeout=60.0)
 
 

@@ -32,6 +32,18 @@ def test_predict_and_metric(net):
     assert np.isfinite(loss)
 
 
+def test_stats_vars_is_exactly_the_moving_stats(net):
+    """stats_vars() — the per-round stats-annex gather — must equal the
+    moving-stat subset of get_vars(): same keys, same values, no trainables
+    (it exists to avoid get_vars()' full ~2M-parameter D2H per round)."""
+    full = net.get_vars()
+    stats = net.stats_vars()
+    assert stats and all("moving_" in k for k in stats)
+    assert set(stats) == {k for k in full if "moving_" in k}
+    for k, v in stats.items():
+        np.testing.assert_array_equal(v, full[k])
+
+
 @pytest.mark.slow
 def test_train_round_and_delta_outputs(net):
     rng = np.random.RandomState(0)

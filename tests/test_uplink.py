@@ -90,6 +90,18 @@ def test_ffmpeg_broken_pipe_retry(tmp_path, fake_ffmpeg, monkeypatch):
     assert [r["pass"] for r in fake_ffmpeg.records()] == ["1", "2"]
 
 
+def test_ffmpeg_dead_encoder_exhausts_retries(tmp_path, fake_ffmpeg,
+                                              monkeypatch):
+    """An encoder that dies deterministically (bad argv, missing codec)
+    breaks the pipe on EVERY attempt: the bounded retry must give up with
+    the exit code in the error instead of respawning ffmpeg forever like
+    the reference's retry loop would (run.py:249-252)."""
+    monkeypatch.setenv("FAKE_FFMPEG_FAIL_ALWAYS", "1")
+    frames = _smooth_frames(6, h=160, w=160)
+    with pytest.raises(RuntimeError, match=r"broke 5 times.*rc=1"):
+        encode_h264_bytes(frames, 300, fps=6, work_dir=str(tmp_path))
+
+
 def test_ffmpeg_empty_output_fails_loudly(tmp_path, fake_ffmpeg,
                                           monkeypatch):
     """A zero-byte payload must raise, not ship: it would decode to zero
