@@ -60,6 +60,33 @@ def test_roundtrip_small():
         np.testing.assert_array_equal(got, want)
 
 
+def test_decode_corrupt_payloads_fail_loudly():
+    """The edge consumes network-delivered blobs: a garbage stream, a
+    truncated payload, or extra bytes must all raise — never decode into
+    silently-wrong masks/values.  (The wire carries no checksum — that is
+    the reference format — so structural checks are the whole defense.)"""
+    rng = np.random.RandomState(2)
+    names = TRAINABLE_ORDER[:3]
+    params = {n: rng.randn(4, 3).astype(np.float32) for n in names}
+    masks = {n: rng.rand(4, 3) > 0.5 for n in names}
+    shapes = {n: (4, 3) for n in names}
+    blob = encode_delta(params, masks, strategy="coord_desc_auto",
+                        use_native=False)
+
+    with pytest.raises(Exception):  # gzip.BadGzipFile (an OSError)
+        decode_delta(b"not a gzip stream", shapes,
+                     strategy="coord_desc_auto")
+
+    raw = gzip.decompress(blob)
+    truncated = gzip.compress(raw[:-3])
+    with pytest.raises(ValueError):  # frombuffer: buffer too small
+        decode_delta(truncated, shapes, strategy="coord_desc_auto")
+
+    padded = gzip.compress(raw + b"\x00\x01")
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_delta(padded, shapes, strategy="coord_desc_auto")
+
+
 def test_delta_order():
     assert delta_order("full_model") == list(SAVEABLE_ORDER)
     assert delta_order("coord_desc_auto") == list(TRAINABLE_ORDER)
