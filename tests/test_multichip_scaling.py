@@ -6,9 +6,20 @@ Virtual CPU devices share the host's cores, so per-video flatness vs V=1
 cannot hold exactly — but a serialized implementation would cost ~V x the
 single-video round, while a parallel one costs far less (the 8 per-device
 programs share the pool that one device would otherwise use whole).  The
-gate is the generous middle: t(V=8 on 8 devices) < 4 x t(V=1 on 1 device).
+gate is the generous middle: t(V=8 on 8 devices) < 4 x t(V=1 on 1 device)
+— OBSERVABLE ONLY WHEN THE HOST HAS CORES TO RUN DEVICES CONCURRENTLY.
+On a 1-core host (CI hosts shrink: this round's machine went to nproc=1)
+the 8 per-device programs physically serialize and the measured ratio is
+~V regardless of how well the round parallelizes — measured on this
+round's 1-core host: 9.8x, i.e. ~20% scheduling overhead on top of pure
+serialization, with t1 itself varying ~30% between quiet-host runs.  So
+there the gate degrades to a PATHOLOGY bound: t8 < 2V x t1.  That is the
+regression class this test can still observably catch on one core — a
+per-video retrace or a shard_map serialization bug lands at 30-80x —
+while staying clear of scheduler noise around the ~V baseline.
 """
 
+import os
 import time
 
 import numpy as np
@@ -83,7 +94,17 @@ def test_multi_video_round_parallelizes():
                                  mask_V)[3])
 
     per_video_ratio = t8 / t1
+    cores = os.cpu_count() or 1
     print("single-video round %.3fs; 8 videos on 8 devices %.3fs "
-          "(%.2fx the single round; serialized would be ~8x)"
-          % (t1, t8, per_video_ratio))
-    assert t8 < 4.0 * t1, (t8, t1)
+          "(%.2fx the single round; serialized would be ~8x; host has "
+          "%d cores)" % (t1, t8, per_video_ratio, cores))
+    if cores >= V:
+        # enough cores for the 8 device programs to actually overlap:
+        # concurrency is observable, require it
+        assert t8 < 4.0 * t1, (t8, t1)
+    else:
+        # cores < V: the per-device programs time-slice the same cores and
+        # the ratio is ~V no matter what (measured 9.8x on a 1-core host,
+        # t1 noise ~30%); gate only pathologies (retrace per video, a
+        # serialization bug in the shard_map lowering: 30-80x)
+        assert t8 < 2.0 * V * t1, (t8, t1, cores)
