@@ -30,7 +30,18 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # stable since jax 0.8 (the experimental path warns and will go away)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        # the stable API renamed check_rep (replication checking) to
+        # check_vma; keep call sites on one spelling
+        if "check_rep" in kw:
+            kw["check_vma"] = kw.pop("check_rep")
+        return _shard_map(f, **kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ams_tpu.distill.train_step import DistillSpec, make_distill_round
 
