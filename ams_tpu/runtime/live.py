@@ -454,7 +454,11 @@ class LiveServer:
                 break  # idle-session reap: orderly end, state preserved
             if mtype in (None, b"Q"):
                 break
-            assert mtype in (b"F", b"V"), mtype
+            if mtype not in (b"F", b"V"):
+                # raise (not assert: asserts vanish under -O, and this is
+                # peer-controlled wire data) — fault isolation records it
+                # and notifies the client
+                raise ProtocolError("unexpected message type %r" % mtype)
             batch = _npz_load(payload)
             t = float(batch["t"])
             if mtype == b"V":
@@ -540,7 +544,9 @@ class LiveClient:
                 raise ConnectionError(
                     "server rejected hello: %s" % payload.decode())
             break
-        assert mtype == b"M", mtype
+        if mtype != b"M":
+            raise ProtocolError("expected model snapshot 'M', got %r"
+                                % mtype)
         arrays = _npz_load(payload)
         delta_base = {k[len("base:"):]: v for k, v in arrays.items()
                       if k.startswith("base:")}
@@ -600,7 +606,8 @@ class LiveClient:
             if mtype in (None, b"Q"):
                 self.closed = True
                 return applied
-            assert mtype == b"D", mtype
+            if mtype != b"D":
+                raise ProtocolError("expected delta 'D', got %r" % mtype)
             self.network.apply_downlink(payload, strategy=self.strategy,
                                         wire_dtype=self.wire_dtype,
                                         base_initial=not self.no_restore)

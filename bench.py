@@ -25,6 +25,7 @@ tunnel), best-of-N trials, persistent compile cache.
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
@@ -195,15 +196,44 @@ def bench_parity_labeling():
     }), flush=True)
 
 
+# A wedged axon tunnel hangs the FIRST device op forever (no exception —
+# the except-based fallbacks above never fire), which would leave the
+# driver's bench run with no artifact at all.  The watchdog turns an
+# indefinite hang into a loud, diagnosable failure.  Budget: session setup
+# ~2 min + up to three cold remote compiles of minutes each, so the default
+# is generous; a warm-cache run finishes in a few minutes.
+_WATCHDOG_S = float(os.environ.get("AMS_BENCH_TIMEOUT_S", 2700))
+
+
+def _watchdog(budget_s: float) -> threading.Timer:
+    def fire():
+        print("bench: watchdog fired after %.0fs — the device never "
+              "responded (wedged tunnel / lost session?) or a compile is "
+              "pathologically slow; the last 'bench: running ...' marker "
+              "above names the phase that hung" % budget_s,
+              file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(2)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    dog = _watchdog(_WATCHDOG_S)
     failures = 0
     for fn in (bench_client, bench_round, bench_parity_labeling):
+        print("bench: running %s" % fn.__name__, file=sys.stderr)
+        sys.stderr.flush()
         try:
             fn()
         except Exception:
             failures += 1
             traceback.print_exc(file=sys.stderr)
             print("bench: %s failed" % fn.__name__, file=sys.stderr)
+    dog.cancel()
     return 1 if failures == 3 else 0
 
 
