@@ -24,7 +24,10 @@ apply_env_platform()
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; loopback by default — pass 0.0.0.0 "
+                        "explicitly to serve remote edges (the hello is "
+                        "validated but not authenticated)")
     p.add_argument("--port", type=int, default=9097)
     p.add_argument("--teacher_checkpoint", default=None,
                    help="Xception-65 teacher weights (npy/npz/TF prefix); "
@@ -85,7 +88,6 @@ def main(argv=None):
 
     # daemon: run until SIGTERM/SIGINT, then drain sessions gracefully
     import signal
-    import threading
 
     stop = threading.Event()
     for sig in (signal.SIGTERM, signal.SIGINT):
