@@ -55,9 +55,18 @@ class RunConfig:
     # reference's coord payload omits them, so its wire cannot reconstruct
     # the deployed model.  False restores byte-identical reference
     # payloads (and the reference's bug).
+    wire_dtype: str = "float16"        # delta values section: "float16"
+    # (reference wire, run.py:330) or "int8" (opt-in extension: per-var
+    # symmetric quantization, ~2x smaller payloads — downlink bandwidth is
+    # AMS's headline cost).  Affects the accounted *_bw_downlink bits and
+    # the *_mask.dat.gz artifacts; like the reference's fp16 accounting,
+    # the emulation's deployed client keeps exact params (a real consumer
+    # sees the quantization — exercised in runtime/live.py, which
+    # negotiates this dtype in the hello).
     trace_dir: str = ""                # JAX profiler trace output (xprof)
 
     def validate(self):
+        assert self.wire_dtype in ("float16", "int8"), self.wire_dtype
         assert not self.enable_ATR or self.enable_ASR, \
             "ASR must be enabled for ATR to work"
         assert not self.enable_ASR or self.mode == "simple", \

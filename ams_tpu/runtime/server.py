@@ -251,7 +251,8 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             with GLOBAL_TIMER.span("server/delta_encode"):
                 blob = encode_delta(params_by_name, masks_by_name,
                                     strategy=cfg.train_strategy,
-                                    stats=stats)
+                                    stats=stats,
+                                    wire_dtype=cfg.wire_dtype)
             with open(save_dir + "_mask.dat.gz", "wb") as f:
                 f.write(blob)
             curr_update = len(blob) * 8

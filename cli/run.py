@@ -75,6 +75,11 @@ def build_parser():
                    help="Don't persist per-event resume bundles")
     p.add_argument("--trace_dir", default="",
                    help="Write a JAX profiler trace (view with xprof)")
+    p.add_argument("--wire_dtype", choices=["float16", "int8"],
+                   default="float16",
+                   help="Delta payload values: float16 = reference wire; "
+                        "int8 = per-var symmetric quantization (~2x smaller "
+                        "downlink payloads)")
     p.add_argument("--no_stats_annex", action="store_true",
                    help="Omit the BN moving-stats annex from coord-descent "
                         "delta payloads: byte-identical reference wire "
@@ -104,7 +109,8 @@ def config_from_args(args) -> RunConfig:
         resume=args.resume,
         resume_every_event=not args.no_resume_state,
         trace_dir=args.trace_dir,
-        stats_annex=not args.no_stats_annex)
+        stats_annex=not args.no_stats_annex,
+        wire_dtype=args.wire_dtype)
 
 
 def main(argv=None):

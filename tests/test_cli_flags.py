@@ -46,3 +46,8 @@ def test_resume_and_precision_flags():
 
 def test_coord_fraction_choices_parse_to_float():
     assert _cfg(["--coord_fraction", "0.05"]).coord_fraction == 0.05
+
+
+def test_wire_dtype_flag():
+    assert _cfg().wire_dtype == "float16"  # reference wire by default
+    assert _cfg(["--wire_dtype", "int8"]).wire_dtype == "int8"

@@ -84,6 +84,54 @@ def test_coord_desc_auto_loop(synthetic_video):
     assert down[-1] < 0.35 * full_bits
 
 
+@pytest.mark.slow
+def test_int8_wire_emulation(synthetic_video, tmp_path):
+    """Opt-in int8 delta wire in the EMULATION (cfg.wire_dtype): the
+    accounted downlink shrinks vs the fp16 coord payload, and the shipped
+    artifact blob decodes with the int8 wire to the deployed parameters
+    within per-var quantization error (scale = max|v|/127)."""
+    import jax
+
+    from ams_tpu.models.mobilenetv2_deeplab import init_student_params
+    from ams_tpu.stream.codec import decode_delta
+
+    vid, gt, _ = synthetic_video
+    out = str(tmp_path / "int8") + "/"
+    cfg = _cfg(vid, gt, out, train_strategy="coord_desc_auto",
+               coord_fraction=0.1, wire_dtype="int8", fold_deploy=False)
+    run_experiment(cfg)
+
+    results = get_save_dir(cfg, "early4_f2_results")
+    down = np.load(results + "_bw_downlink.npy")
+    # fp16 coord payload lands under 0.35x full (test_coord_desc_auto_loop);
+    # int8 halves the values section (bitmask + gzip overhead remain)
+    full_bits = 2.8e6 * 16
+    assert down[-1] < 0.25 * full_bits, down
+
+    # decode the last shipped blob against the last deployed snapshot
+    blob_path = sorted(glob.glob(os.path.join(out, "*_mask.dat.gz")))[-1]
+    with open(blob_path, "rb") as f:
+        blob = f.read()
+    shapes = {k: np.asarray(v).shape for k, v in
+              init_student_params(jax.random.PRNGKey(0)).items()}
+    masks, values = decode_delta(blob, shapes, strategy="coord_desc_auto",
+                                 wire_dtype="int8")
+    final = sorted(glob.glob(os.path.join(out, "*_final.npz")))[-1]
+    with np.load(final) as z:
+        deployed = {k: z[k] for k in z.files}
+    checked = 0
+    for name, m in masks.items():
+        if not m.any() or name not in deployed:
+            continue
+        dep = deployed[name][m].astype(np.float32)
+        dec = values[name][m].astype(np.float32)
+        # symmetric int8: |err| <= scale/2 = max|v|/254 per var
+        tol = np.abs(deployed[name]).max() / 254.0 + 1e-7
+        np.testing.assert_allclose(dec, dep, atol=tol, rtol=0)
+        checked += m.sum()
+    assert checked > 1000  # the 10% selection really was exercised
+
+
 def test_pretrained_mode(synthetic_video):
     """pretrained mode: one training pass at t=0, then client inference
     over the whole clip (run.py:645-651 semantics)."""
