@@ -102,20 +102,24 @@ def send_msg(sock: socket.socket, mtype: bytes, payload: bytes) -> None:
     sock.sendall(_HDR.pack(mtype, len(payload)) + payload)
 
 
-def recv_msg(sock: socket.socket, max_payload: int = MAX_PAYLOAD):
+def recv_msg(sock: socket.socket, max_payload: int = MAX_PAYLOAD,
+             deadline: Optional[float] = None):
     """-> (type, payload) or (None, None) on EOF.
 
     Raises ProtocolError when the length prefix exceeds ``max_payload``
     (memory-DoS guard: the 8-byte length is attacker-controlled and arrives
-    before any hello validation)."""
-    hdr = _recv_exact(sock, _HDR.size)
+    before any hello validation).  ``deadline`` (time.monotonic seconds)
+    bounds the WHOLE message, not each recv: a per-recv timeout alone lets
+    a slow-loris peer trickle one byte per window and reset the clock on
+    every byte."""
+    hdr = _recv_exact(sock, _HDR.size, deadline)
     if hdr is None:
         return None, None
     mtype, n = _HDR.unpack(hdr)
     if n > max_payload:
         raise ProtocolError("message length %d exceeds cap %d"
                             % (n, max_payload))
-    payload = _recv_exact(sock, n) if n else b""
+    payload = _recv_exact(sock, n, deadline) if n else b""
     if n and payload is None:
         return None, None
     return mtype, payload
@@ -125,9 +129,15 @@ class ProtocolError(ValueError):
     """Malformed wire data (bad length prefix / oversized message)."""
 
 
-def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+def _recv_exact(sock: socket.socket, n: int,
+                deadline: Optional[float] = None) -> Optional[bytes]:
     buf = b""
     while len(buf) < n:
+        if deadline is not None:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise socket.timeout("recv deadline exceeded")
+            sock.settimeout(remaining)
         chunk = sock.recv(n - len(buf))
         if not chunk:
             return None
@@ -241,8 +251,9 @@ class LiveServer:
         self._shutdown = threading.Event()
         self._conns_lock = threading.Lock()
         self._active_conns: set = set()
-        self.rounds_served = 0
-        self.sessions_served = 0
+        self.rounds_served = 0     # updated under _conns_lock: concurrent
+        self.sessions_served = 0   # client threads would lose '+=' races
+        self.handshakes_failed = 0  # accept-thread only (no lock needed)
         self.final_vars: Dict = {}  # last-round params per client id
         self.error: Optional[BaseException] = None  # accept-loop failure
         self.client_errors: Dict = {}  # per-client faults, isolated
@@ -251,6 +262,15 @@ class LiveServer:
         self._accept_thread = threading.Thread(target=self._accept_loop,
                                                daemon=True)
         self._accept_thread.start()
+
+    def is_serving(self) -> bool:
+        """True while the accept loop is alive and fault-free.  A daemon
+        supervisor (cli/serve.py) polls this: without it, an accept-loop
+        fault leaves a zombie process that refuses every connection and
+        only surfaces the stored exception at shutdown join() — far from
+        the cause."""
+        return (self.error is None and self._accept_thread is not None
+                and self._accept_thread.is_alive())
 
     def join(self, timeout=None, raise_client_errors: bool = True) -> None:
         """Wait for every ACTIVE client session to finish (the accept loop
@@ -332,19 +352,30 @@ class LiveServer:
                 self._threads = [t for t in self._threads if t.is_alive()]
                 # handshake inline: a stray connection (port scanner,
                 # health check) that closes or talks garbage must not burn
-                # a concurrency slot.  Bounded: a peer that connects and
-                # sends NOTHING would otherwise wedge this single accept
-                # thread forever (it isn't in _active_conns yet, so not
-                # even close() could unblock it)
+                # a concurrency slot.  Bounded by a DEADLINE, not a
+                # per-recv timeout: a peer that connects and sends NOTHING
+                # — or trickles one byte per timeout window (slow loris) —
+                # would otherwise wedge this single accept thread forever
+                # (it isn't in _active_conns yet, so not even close()
+                # could unblock it)
                 try:
-                    conn.settimeout(self.handshake_timeout)
-                    mtype, payload = recv_msg(conn)
+                    mtype, payload = recv_msg(
+                        conn,
+                        deadline=time.monotonic() + self.handshake_timeout)
                     conn.settimeout(None)
                     if mtype != b"H":
                         conn.close()
                         continue
                     hello = json.loads(payload.decode())
-                    err = _hello_error(hello, self.checkpoint_dir)
+                    # json.loads happily yields null/numbers/lists: a
+                    # non-object hello would AttributeError inside
+                    # _hello_error, and an uncaught exception here kills
+                    # the daemon's single accept thread (a one-packet DoS)
+                    if not isinstance(hello, dict):
+                        err = ("hello must be a JSON object, got %s"
+                               % type(hello).__name__)
+                    else:
+                        err = _hello_error(hello, self.checkpoint_dir)
                     if err is not None:
                         try:
                             send_msg(conn, b"Q", err.encode())
@@ -352,7 +383,11 @@ class LiveServer:
                             pass
                         conn.close()
                         continue
-                except (OSError, ValueError):
+                except Exception:
+                    # NO per-connection failure may stop the accept loop;
+                    # counted so malformed/timed-out handshakes stay
+                    # observable (polite 'Q' rejections are not failures)
+                    self.handshakes_failed += 1
                     conn.close()
                     continue
                 if not self._slots.acquire(blocking=False):
@@ -393,8 +428,8 @@ class LiveServer:
         finally:
             with self._conns_lock:
                 self._active_conns.discard(conn)
+                self.sessions_served += 1
             conn.close()
-            self.sessions_served += 1
             self._slots.release()
 
     def _resume_prefix(self, client_id) -> Optional[str]:
@@ -497,7 +532,8 @@ class LiveServer:
                 send_msg(conn, b"D", blob)
             except (BrokenPipeError, ConnectionResetError):
                 break  # client hung up mid-round: normal end of stream
-            self.rounds_served += 1
+            with self._conns_lock:
+                self.rounds_served += 1
             st.rounds += 1
             if prefix is not None:
                 from ams_tpu.runtime import resume as resume_mod

@@ -224,7 +224,10 @@ def _watchdog(budget_s: float) -> threading.Timer:
 def main():
     dog = _watchdog(_WATCHDOG_S)
     failures = 0
-    for fn in (bench_client, bench_round, bench_parity_labeling):
+    # the driver's BENCH_r{N}.json parses the LAST JSON line as the
+    # round-over-round headline series (student f/s in r01/r02) — keep
+    # bench_client last so the series stays comparable across rounds
+    for fn in (bench_round, bench_parity_labeling, bench_client):
         print("bench: running %s" % fn.__name__, file=sys.stderr)
         sys.stderr.flush()
         try:
@@ -234,7 +237,11 @@ def main():
             traceback.print_exc(file=sys.stderr)
             print("bench: %s failed" % fn.__name__, file=sys.stderr)
     dog.cancel()
-    return 1 if failures == 3 else 0
+    # ANY missing metric is a failure: the whole point of the 3-line bench
+    # is that a regression in any north-star axis is driver-visible, and a
+    # crashed metric prints no JSON line — exit 0 would record that as a
+    # green run with an axis silently absent
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

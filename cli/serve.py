@@ -93,14 +93,24 @@ def main(argv=None):
     for sig in (signal.SIGTERM, signal.SIGINT):
         signal.signal(sig, lambda *_: stop.set())
     # poll-wait: an indefinite Event.wait() can sit in a single C-level
-    # lock acquire where the Python-level signal handler never runs
+    # lock acquire where the Python-level signal handler never runs.
+    # Also supervise the accept loop: if it dies (listen socket yanked,
+    # unexpected OSError), exit loudly instead of lingering as a zombie
+    # that refuses every connection until an operator notices
+    rc = 0
     while not stop.is_set():
         stop.wait(timeout=1.0)
+        if not stop.is_set() and not server.is_serving():
+            print("accept loop died: %r — shutting down"
+                  % (server.error,), file=sys.stderr, flush=True)
+            rc = 1
+            break
     print("shutting down...", flush=True)
     server.close(grace=60.0)
     print("served %d rounds across %d sessions"
           % (server.rounds_served, server.sessions_served))
+    return rc
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -405,3 +405,114 @@ def test_live_oversized_message_rejected():
     assert ok.network.get_vars()
     ok.close()
     server.close(grace=10.0)
+
+
+def test_live_non_object_hello_keeps_accept_loop_alive():
+    """A syntactically valid JSON hello that is NOT an object (null, number,
+    list) used to AttributeError inside _hello_error — outside the narrow
+    handshake catch — and permanently kill the accept loop: a one-packet
+    unauthenticated DoS.  Each such hello must be rejected with a 'Q' and
+    the daemon must keep serving."""
+    import socket as socklib
+    import struct
+
+    server = LiveServer(_stub_labeler, max_clients=1)
+    server.serve_in_background()
+
+    for payload in (b"null", b"42", b"[1, 2]", b'"hello"'):
+        probe = socklib.create_connection(tuple(server.address))
+        probe.sendall(struct.pack(">cQ", b"H", len(payload)) + payload)
+        probe.settimeout(30.0)
+        hdr = b""
+        try:
+            while len(hdr) < 9:
+                chunk = probe.recv(9 - len(hdr))
+                if not chunk:
+                    break
+                hdr += chunk
+        except OSError:
+            pass
+        probe.close()
+        # a 'Q' rejection arrived (not a silent slam) and the loop survived
+        assert hdr[:1] == b"Q", (payload, hdr)
+        assert server.is_serving(), payload
+
+    # the server still serves a well-formed client afterwards
+    ok = LiveClient(server.address, exp_num=90, height=32,
+                    strategy="full_model", iters=1, batch_size=2,
+                    train_period=1, checkpoint="synthetic",
+                    client_id="after-null")
+    assert ok.network.get_vars()
+    ok.close()
+    server.close(grace=10.0)
+
+
+def test_live_slow_loris_handshake_deadline():
+    """handshake_timeout is a DEADLINE for the whole hello, not a per-recv
+    timeout: a peer trickling one byte per window would otherwise reset
+    the clock on every byte and park the single accept thread for hours."""
+    import socket as socklib
+    import struct
+    import time as timelib
+
+    server = LiveServer(_stub_labeler, max_clients=1,
+                        handshake_timeout=1.0)
+    server.serve_in_background()
+    loris = socklib.create_connection(tuple(server.address))
+    hdr = struct.pack(">cQ", b"H", 2)
+    t0 = timelib.monotonic()
+    dropped = False
+    loris.settimeout(2.0)
+    try:
+        for byte in hdr:
+            loris.sendall(bytes([byte]))
+            timelib.sleep(0.4)  # < 1.0 per byte, > 1.0 in total
+    except OSError:
+        dropped = True  # server already closed our end mid-send
+    if not dropped:
+        try:
+            dropped = loris.recv(1) == b""
+        except OSError:
+            dropped = True
+    waited = timelib.monotonic() - t0
+    loris.close()
+    assert dropped, "slow-loris peer was never dropped"
+    # dropped at the 1 s deadline, long before the 9-byte trickle completes
+    assert waited < 15.0, waited
+    assert server.handshakes_failed >= 1
+    assert server.is_serving()
+
+    ok = LiveClient(server.address, exp_num=90, height=32,
+                    strategy="full_model", iters=1, batch_size=2,
+                    train_period=1, checkpoint="synthetic",
+                    client_id="after-loris")
+    assert ok.network.get_vars()
+    ok.close()
+    server.close(grace=10.0)
+
+
+def test_live_is_serving_reflects_accept_loop_death():
+    """is_serving() is the daemon supervisor's health probe (cli/serve.py
+    exits loudly on it): a listener fault must flip it to False instead of
+    leaving a zombie that refuses every connection until shutdown."""
+    import socket as socklib
+    import time as timelib
+
+    server = LiveServer(_stub_labeler, max_clients=1)
+    server.serve_in_background()
+    assert server.is_serving()
+
+    # simulate a listener fault WITHOUT the shutdown flag: accept() raises
+    # OSError, which the loop must record and die on (it is a server-level
+    # fault, not a per-connection one)
+    try:
+        server._lsock.shutdown(socklib.SHUT_RDWR)
+    except OSError:
+        pass
+    server._lsock.close()
+    deadline = timelib.monotonic() + 30.0
+    while server.is_serving() and timelib.monotonic() < deadline:
+        timelib.sleep(0.05)
+    assert not server.is_serving()
+    assert server.error is not None
+    server._shutdown.set()  # close() would re-join; just reap threads
