@@ -19,7 +19,7 @@ Adam variables, SemanticNetwork.py:25).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,13 +42,14 @@ def adam_init(trainable_params: dict) -> AdamState:
                      v=jax.tree.map(jnp.zeros_like, dict(trainable_params)))
 
 
-def adam_apply(params: dict, grads: dict, state: AdamState, lr,
-               mask: Optional[dict] = None):
+def adam_apply(params: dict, grads: dict, state: AdamState, lr):
     """One Adam step over the keys of ``grads``.
 
-    Returns (new_params, new_state).  With ``mask`` (bool pytree), parameter
-    movement is suppressed where mask is False while slots still advance —
-    the reference's train_coord semantics.
+    Returns (new_params, new_state).  Always unmasked: the reference's
+    train_coord semantics (movement suppressed where the mask is False
+    while slots still advance) live in ONE place — train_step.py's scan
+    body applies the mask via jnp.where over the stepped params, because
+    the peeled selection iteration needs the unmasked step too.
     """
     t = state.step + 1
     tf_ = t.astype(jnp.float32)
@@ -61,10 +62,7 @@ def adam_apply(params: dict, grads: dict, state: AdamState, lr,
         g = g.astype(jnp.float32)
         m = ADAM_BETA1 * state.m[k] + (1.0 - ADAM_BETA1) * g
         v = ADAM_BETA2 * state.v[k] + (1.0 - ADAM_BETA2) * jnp.square(g)
-        stepped = params[k] - lr_t * m / (jnp.sqrt(v) + ADAM_EPS)
-        if mask is not None:
-            stepped = jnp.where(mask[k], stepped, params[k])
-        new_params[k] = stepped
+        new_params[k] = params[k] - lr_t * m / (jnp.sqrt(v) + ADAM_EPS)
         new_m[k] = m
         new_v[k] = v
     return new_params, AdamState(step=t, m=new_m, v=new_v)

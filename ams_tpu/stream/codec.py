@@ -77,7 +77,12 @@ def pack_payload(masks: Sequence[np.ndarray],
         buf.write(np.packbits(np.asarray(m, bool).reshape(-1)).tobytes())
     for m, v in zip(masks, values):
         v = np.asarray(v)
-        assert v.shape == np.asarray(m).shape, (v.shape, np.shape(m))
+        if v.shape != np.asarray(m).shape:
+            # a real wire-integrity check, not a debug assert: under
+            # python -O a stale/mismatched mask would silently mis-slice
+            # every subsequent var on the client
+            raise ValueError("mask shape %s != value shape %s"
+                             % (np.shape(m), v.shape))
         picked = v[np.asarray(m, bool)]
         if wire_dtype == "float16":
             # single cast from the source dtype: an f32 intermediate would
@@ -105,19 +110,40 @@ def pack_payload(masks: Sequence[np.ndarray],
     return buf.getvalue()
 
 
+def _stats_inventory_crc(names: Sequence[str]) -> int:
+    import zlib
+    return zlib.crc32("\n".join(names).encode()) & 0xFFFFFFFF
+
+
 def pack_stats_annex(stats: Dict[str, np.ndarray]) -> bytes:
-    """Stats-annex section: magic + version + var count + fp16 dense
-    values for every STATS_ORDER var present in ``stats`` (dense — the
-    stats have no mask; they always all advance).  Both ends derive the
-    var list from var_order, so only the count is on the wire; a count
-    mismatch fails loudly at decode instead of silently mis-slicing."""
+    """Stats-annex section: magic + version + var count + CRC32 of the
+    newline-joined var names + fp16 dense values for every STATS_ORDER var
+    present in ``stats`` (dense — the stats have no mask; they always all
+    advance).  Both ends derive the var list from var_order; the count AND
+    the name-list CRC are on the wire, so an inventory mismatch fails
+    loudly at decode even when the counts happen to agree (a count-only
+    check would silently hand one var's bytes to a different var).
+
+    Values must be finite and inside fp16 range: the annex is a wire
+    extension with no reference-parity constraint, and a NaN/inf (or
+    >65504 overflowing to inf) moving statistic would silently corrupt the
+    client's normalizers — same policy as the int8 branch above."""
     names = [n for n in STATS_ORDER if n in stats]
     buf = io.BytesIO()
     buf.write(STATS_MAGIC)
-    buf.write(np.uint8(1).tobytes())
+    buf.write(np.uint8(2).tobytes())
     buf.write(np.uint32(len(names)).tobytes())
+    buf.write(np.uint32(_stats_inventory_crc(names)).tobytes())
+    fp16_max = float(np.finfo(np.float16).max)
     for n in names:
-        buf.write(np.asarray(stats[n]).astype(np.float16).tobytes())
+        v = np.asarray(stats[n], np.float32)
+        maxabs = float(np.max(np.abs(v))) if v.size else 0.0
+        if not np.isfinite(maxabs) or maxabs > fp16_max:
+            raise ValueError(
+                "moving statistic %r has non-finite or fp16-overflowing "
+                "values (max|v|=%r); refusing to ship a corrupt stats "
+                "annex" % (n, maxabs))
+        buf.write(v.astype(np.float16).tobytes())
     return buf.getvalue()
 
 
@@ -216,11 +242,17 @@ def decode_delta(blob: bytes,
         # STATS_ORDER.  Returned as all-ones-masked dense vars so
         # apply_delta overlays them like any other section.
         off += 4
+        if off + 9 > len(raw):
+            # keep the decoder's error contract: truncation raises
+            # ValueError like every other corruption, never IndexError
+            raise ValueError("truncated stats annex header")
         version = raw[off]
         off += 1
-        if version != 1:
+        if version != 2:
             raise ValueError("unknown stats annex version %d" % version)
         count = int(np.frombuffer(raw, np.uint32, count=1, offset=off)[0])
+        off += 4
+        crc = int(np.frombuffer(raw, np.uint32, count=1, offset=off)[0])
         off += 4
         names = [n for n in STATS_ORDER if n in shapes]
         if count != len(names):
@@ -228,6 +260,11 @@ def decode_delta(blob: bytes,
                 "stats annex var count %d != decoder's %d — encoder and "
                 "decoder disagree on the moving-statistics inventory"
                 % (count, len(names)))
+        if crc != _stats_inventory_crc(names):
+            raise ValueError(
+                "stats annex inventory CRC mismatch — encoder and decoder "
+                "agree on the count (%d) but not the var names; refusing "
+                "to assign one statistic's bytes to another var" % count)
         for name in names:
             n = int(np.prod(shapes[name]))
             vals = np.frombuffer(raw, np.float16, count=n, offset=off)

@@ -268,3 +268,56 @@ def test_fp16_wire_single_rounding_for_f64_params():
     nbits = (vals.size + 7) // 8
     wire = np.frombuffer(raw, np.float16, offset=nbits)
     np.testing.assert_array_equal(wire, vals.astype(np.float16))
+
+
+def test_stats_annex_inventory_crc_catches_equal_count_mismatch():
+    """A count-only integrity check silently assigns one statistic's bytes
+    to a DIFFERENT var when the inventories differ but the counts agree;
+    the annex now carries a CRC of the name list and must refuse."""
+    shapes, params, masks, stats = _stats_fixture(n_stats=2)
+    blob = encode_delta(params, masks, strategy="coord_desc_auto",
+                        stats=stats, use_native=False)
+    # decoder believes in a DIFFERENT 2-var stats inventory (same count,
+    # same total byte size: swap one 8-elem var for another)
+    bad_shapes = {n: shapes[n] for n in params}
+    bad_shapes[STATS_ORDER[0]] = (8,)
+    bad_shapes[STATS_ORDER[2]] = (8,)  # encoder shipped STATS_ORDER[1]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_delta(blob, bad_shapes, strategy="coord_desc_auto")
+
+
+def test_stats_annex_rejects_nonfinite_and_overflow():
+    """The annex is a wire extension (no reference-parity constraint): a
+    NaN/inf or fp16-overflowing moving statistic must raise at encode,
+    not ship bytes that silently corrupt the client's normalizers."""
+    shapes, params, masks, stats = _stats_fixture()
+    for poison in (np.nan, np.inf, 1e5):  # 1e5 > fp16 max 65504
+        bad = dict(stats)
+        first = next(iter(bad))
+        bad[first] = bad[first].copy()
+        bad[first][0] = poison
+        with pytest.raises(ValueError, match="stats annex"):
+            encode_delta(params, masks, strategy="coord_desc_auto",
+                         stats=bad)
+
+
+def test_stats_annex_truncated_header_raises_valueerror():
+    """A blob whose decompressed stream ends right after STATS_MAGIC must
+    raise ValueError (the decoder's corruption contract), not IndexError."""
+    shapes, params, masks, stats = _stats_fixture()
+    plain = encode_delta(params, masks, strategy="coord_desc_auto",
+                         use_native=False)
+    raw = gzip.decompress(plain) + STATS_MAGIC  # magic, then nothing
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(raw)
+    with pytest.raises(ValueError, match="truncated stats annex"):
+        decode_delta(buf.getvalue(), shapes, strategy="coord_desc_auto")
+
+
+def test_pack_payload_mask_shape_mismatch_raises():
+    """Shape agreement is a wire-integrity check (ValueError), not a debug
+    assert: under python -O a stale mask would mis-slice every subsequent
+    var on the client."""
+    with pytest.raises(ValueError, match="mask shape"):
+        pack_payload([np.ones((2, 3), bool)], [np.zeros((3, 2), np.float32)])
