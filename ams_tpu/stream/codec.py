@@ -32,7 +32,9 @@ from ams_tpu.models.var_order import (
     TRAINABLE_ORDER,
 )
 
-# Stats-annex magic (wire extension, version 1).  The reference's
+# Stats-annex magic (wire extension; current header version 2 = magic +
+# u8 version + u32 var count + u32 CRC32 of the newline-joined var names;
+# v1 lacked the CRC and is still accepted at decode).  The reference's
 # coord-descent payload cannot reconstruct the deployed model: BN moving
 # statistics advance during training (control-dep updates are never
 # masked/reverted) but curr_mask iterates only grad_masks_pl — the
@@ -136,7 +138,9 @@ def pack_stats_annex(stats: Dict[str, np.ndarray]) -> bytes:
     buf.write(np.uint32(_stats_inventory_crc(names)).tobytes())
     fp16_max = float(np.finfo(np.float16).max)
     for n in names:
-        v = np.asarray(stats[n], np.float32)
+        # no f32 intermediate: same single-cast rule as pack_payload —
+        # f64 stats must round f64->f16 once, not f64->f32->f16
+        v = np.asarray(stats[n])
         maxabs = float(np.max(np.abs(v))) if v.size else 0.0
         if not np.isfinite(maxabs) or maxabs > fp16_max:
             raise ValueError(
@@ -242,17 +246,15 @@ def decode_delta(blob: bytes,
         # STATS_ORDER.  Returned as all-ones-masked dense vars so
         # apply_delta overlays them like any other section.
         off += 4
-        if off + 9 > len(raw):
+        if off + 5 > len(raw):
             # keep the decoder's error contract: truncation raises
             # ValueError like every other corruption, never IndexError
             raise ValueError("truncated stats annex header")
         version = raw[off]
         off += 1
-        if version != 2:
+        if version not in (1, 2):
             raise ValueError("unknown stats annex version %d" % version)
         count = int(np.frombuffer(raw, np.uint32, count=1, offset=off)[0])
-        off += 4
-        crc = int(np.frombuffer(raw, np.uint32, count=1, offset=off)[0])
         off += 4
         names = [n for n in STATS_ORDER if n in shapes]
         if count != len(names):
@@ -260,11 +262,20 @@ def decode_delta(blob: bytes,
                 "stats annex var count %d != decoder's %d — encoder and "
                 "decoder disagree on the moving-statistics inventory"
                 % (count, len(names)))
-        if crc != _stats_inventory_crc(names):
-            raise ValueError(
-                "stats annex inventory CRC mismatch — encoder and decoder "
-                "agree on the count (%d) but not the var names; refusing "
-                "to assign one statistic's bytes to another var" % count)
+        if version >= 2:
+            # v2 adds a CRC32 of the name list; v1 payloads (persisted
+            # artifacts from earlier rounds) stay decodable with the
+            # count-only check
+            if off + 4 > len(raw):
+                raise ValueError("truncated stats annex header")
+            crc = int(np.frombuffer(raw, np.uint32, count=1, offset=off)[0])
+            off += 4
+            if crc != _stats_inventory_crc(names):
+                raise ValueError(
+                    "stats annex inventory CRC mismatch — encoder and "
+                    "decoder agree on the count (%d) but not the var names; "
+                    "refusing to assign one statistic's bytes to another "
+                    "var" % count)
         for name in names:
             n = int(np.prod(shapes[name]))
             vals = np.frombuffer(raw, np.float16, count=n, offset=off)

@@ -1,6 +1,6 @@
-"""Console entry points (see pyproject [project.scripts]).
+"""Checkout-only shims over ams_tpu.cli (NOT installed — see pyproject).
 
-Each module exposes ``main(argv=None)`` so the scripts work both as
-``python cli/run.py ...`` from a checkout and as installed ``ams-*``
-commands.
+Each module re-exports ``main(argv=None)`` from its ams_tpu.cli
+counterpart so ``python cli/run.py ...`` keeps working from a checkout;
+installed environments get the ``ams-*`` console scripts instead.
 """

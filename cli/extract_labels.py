@@ -1,42 +1,14 @@
 #!/usr/bin/env python
-"""Teacher label extraction CLI — flag-compatible with the reference
-extract_labels.py, batched for TPU."""
+"""Checkout shim — the real module is ams_tpu.cli.extract_labels
+(installed: ams-extract-labels)."""
 
-import argparse
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from ams_tpu.utils.platform import apply_env_platform  # noqa: E402
-
-apply_env_platform()
-
-from ams_tpu.runtime.labeler import extract_labels  # noqa: E402
-
-
-def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--dump_path", required=True,
-                   help="Directory of the path data")
-    p.add_argument("--teacher_checkpoint", default=None,
-                   help="Directory for teacher checkpoint")
-    p.add_argument("--gpu", default="0",
-                   help="Accepted for reference compatibility; unused")
-    p.add_argument("--input_video", required=True,
-                   help="Video used in the test")
-    p.add_argument("--height", type=int, default=None,
-                   help="height to extract labels")
-    p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--max_frames", type=int, default=None)
-    args = p.parse_args(argv)
-    print("Extracting labels...")
-    n = extract_labels(args.input_video, args.dump_path,
-                       teacher_checkpoint=args.teacher_checkpoint,
-                       height=args.height, batch=args.batch,
-                       max_frames=args.max_frames)
-    print("There were %d frames extracted" % n)
-
+from ams_tpu.cli.extract_labels import *  # noqa: F401,F403,E402
+from ams_tpu.cli.extract_labels import main  # noqa: E402
 
 if __name__ == "__main__":
     main()

@@ -321,3 +321,49 @@ def test_pack_payload_mask_shape_mismatch_raises():
     var on the client."""
     with pytest.raises(ValueError, match="mask shape"):
         pack_payload([np.ones((2, 3), bool)], [np.zeros((3, 2), np.float32)])
+
+
+def test_stats_annex_v1_payloads_still_decode():
+    """Persisted artifacts from before the CRC header (annex v1: magic +
+    version byte 1 + u32 count, no CRC) must keep decoding — the annex
+    version is not negotiated anywhere, so a hard v1 reject would break
+    every on-disk coord payload written by earlier rounds."""
+    shapes, params, masks, stats = _stats_fixture()
+    plain = encode_delta(params, masks, strategy="coord_desc_auto",
+                         use_native=False)
+    raw = gzip.decompress(plain)
+    names = [n for n in STATS_ORDER if n in stats]
+    v1 = io.BytesIO()
+    v1.write(raw)
+    v1.write(STATS_MAGIC)
+    v1.write(np.uint8(1).tobytes())
+    v1.write(np.uint32(len(names)).tobytes())
+    for n in names:
+        v1.write(np.asarray(stats[n]).astype(np.float16).tobytes())
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(v1.getvalue())
+    dmasks, dvalues = decode_delta(buf.getvalue(), shapes,
+                                   strategy="coord_desc_auto")
+    for n in names:
+        assert dmasks[n].all()
+        np.testing.assert_array_equal(dvalues[n],
+                                      stats[n].astype(np.float16))
+
+
+def test_stats_annex_f64_stats_round_once():
+    """Same single-cast rule as pack_payload: f64 moving statistics round
+    f64->f16 directly — an f32 intermediate would double-round values near
+    fp16 rounding boundaries."""
+    shapes, params, masks, stats = _stats_fixture(n_stats=1)
+    first = next(iter(stats))
+    # 1 + 2^-11 + 2^-24: rounds differently via f32 (ties-to-even twice)
+    poison = np.float64(1.0) + np.float64(2.0) ** -11 + np.float64(2.0) ** -24
+    stats[first] = np.full(shapes[first], poison, np.float64)
+    blob = encode_delta(params, masks, strategy="coord_desc_auto",
+                        stats=stats, use_native=False)
+    _, dvalues = decode_delta(blob, shapes, strategy="coord_desc_auto")
+    want = stats[first].astype(np.float16)          # single rounding
+    doubled = stats[first].astype(np.float32).astype(np.float16)
+    assert not np.array_equal(want, doubled), "probe value must discriminate"
+    np.testing.assert_array_equal(dvalues[first], want)
