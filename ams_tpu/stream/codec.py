@@ -49,6 +49,9 @@ from ams_tpu.models.var_order import (
 # +51.8 KB ≈ +9.6% on a coord@10% payload (538 KB -> 590 KB gzip'd).
 STATS_MAGIC = b"AMSB"
 
+# one-shot flag for the native-codec fallback warning in encode_delta
+_warned_native_fallback = False
+
 
 def delta_order(strategy: str, present=None) -> List[str]:
     """Canonical wire order for a strategy's delta payload (the ONLY place
@@ -188,8 +191,19 @@ def encode_delta(params: Dict[str, np.ndarray],
         try:
             from ams_tpu.native import codec as native_codec
             return native_codec.gzip9(raw)
-        except Exception:
-            pass
+        except Exception as e:
+            # correctness-preserving fallback (the Python path is the
+            # oracle the native codec is tested against), but never a
+            # silent one: losing the native encoder costs real encode
+            # throughput, so say so once per process
+            global _warned_native_fallback
+            if not _warned_native_fallback:
+                _warned_native_fallback = True
+                import warnings
+                warnings.warn(
+                    "native delta codec unavailable (%s: %s); falling back "
+                    "to the slower pure-Python gzip path for all encodes "
+                    "in this process" % (type(e).__name__, e))
     buf = io.BytesIO()
     # mtime=0 keeps payloads deterministic (gzip -9 parity is about size,
     # not the header timestamp).

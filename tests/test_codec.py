@@ -367,3 +367,29 @@ def test_stats_annex_f64_stats_round_once():
     doubled = stats[first].astype(np.float32).astype(np.float16)
     assert not np.array_equal(want, doubled), "probe value must discriminate"
     np.testing.assert_array_equal(dvalues[first], want)
+
+
+def test_native_fallback_warns_once_per_process(monkeypatch):
+    """Losing the native encoder is correctness-preserving but costs real
+    encode throughput — the fallback must warn (once), never be silent."""
+    import sys
+    import warnings
+
+    import ams_tpu.stream.codec as C
+
+    import ams_tpu.native
+
+    monkeypatch.setattr(C, "_warned_native_fallback", False)
+    # None in sys.modules makes the from-import raise ImportError — but
+    # only after removing the already-bound package attribute, which
+    # `from ams_tpu.native import codec` would otherwise resolve first
+    monkeypatch.delattr(ams_tpu.native, "codec", raising=False)
+    monkeypatch.setitem(sys.modules, "ams_tpu.native.codec", None)
+    params = {n: np.zeros((4, 4), np.float32)
+              for n in TRAINABLE_ORDER[:2]}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        encode_delta(params, None, strategy="coord_desc_auto")
+        encode_delta(params, None, strategy="coord_desc_auto")
+    msgs = [x for x in w if "native delta codec" in str(x.message)]
+    assert len(msgs) == 1
