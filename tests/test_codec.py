@@ -393,3 +393,31 @@ def test_native_fallback_warns_once_per_process(monkeypatch):
         encode_delta(params, None, strategy="coord_desc_auto")
     msgs = [x for x in w if "native delta codec" in str(x.message)]
     assert len(msgs) == 1
+
+
+def test_any_single_byte_flip_raises_never_corrupts_silently():
+    """Wire-integrity property: flipping ANY byte of a payload must raise
+    at decode (gzip CRC + section bookkeeping), never hand back silently
+    corrupt parameters.  Exhaustive over every byte position of a small
+    coord payload with a stats annex.  Bytes 4-9 of the gzip header
+    (MTIME/XFL/OS) are excluded: they are container metadata outside both
+    the deflate stream and the CRC, so flips there change no decoded
+    data."""
+    shapes, params, masks, stats = _stats_fixture(n_train=2, n_stats=2)
+    blob = bytearray(encode_delta(params, masks, strategy="coord_desc_auto",
+                                  stats=stats, use_native=False))
+    import zlib
+    bad_kinds = (ValueError, OSError, zlib.error, EOFError)
+    silent = []
+    for pos in [p for p in range(len(blob)) if not 4 <= p <= 9]:
+        flipped = bytearray(blob)
+        flipped[pos] ^= 0xFF
+        try:
+            decode_delta(bytes(flipped), shapes, strategy="coord_desc_auto")
+        except bad_kinds:
+            continue
+        except Exception as e:  # noqa: BLE001 - classify unexpected types
+            silent.append((pos, "unexpected %r" % e))
+            continue
+        silent.append((pos, "decoded cleanly"))
+    assert not silent, silent[:10]
