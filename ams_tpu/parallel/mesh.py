@@ -45,6 +45,7 @@ def init_multi_host(coordinator_address: Optional[str] = None,
     import jax.distributed
 
     explicit = coordinator_address is not None or num_processes is not None \
+        or process_id is not None \
         or "JAX_COORDINATOR_ADDRESS" in __import__("os").environ
     if not explicit and not auto:
         return 1  # single-host: nothing to join
@@ -67,6 +68,11 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # truncating silently would hand back a smaller mesh than the
+            # caller sized its work for (e.g. V videos over n_devices)
+            raise ValueError("requested a %d-device mesh but only %d "
+                             "devices exist" % (n_devices, len(devices)))
         devices = devices[:n_devices]
     n = len(devices)
     if model_parallelism is None:

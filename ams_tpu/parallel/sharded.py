@@ -64,26 +64,29 @@ def make_sharded_distill_round(spec: DistillSpec, mesh: Mesh,
     repl = NamedSharding(mesh, P())
 
     def round_fn(params, opt, frames_buf, labels_buf, n_valid, rng, lr,
-                 mask, reselect=True):
+                 mask, reselect=True, **kw):
+        # **kw forwards the base round's optional class_mask / idx_seq
+        # (per-subset narrowing, deterministic replay) — the sharded path
+        # supports everything the single-device round does
         frames_buf = jax.device_put(frames_buf, buf_sh)
         labels_buf = jax.device_put(labels_buf, lbl_sh)
         params = jax.device_put(params, repl)
         return base(params, opt, frames_buf, labels_buf, n_valid, rng, lr,
-                    mask, reselect=reselect)
+                    mask, reselect=reselect, **kw)
 
     return round_fn
 
 
 def make_multi_video_round(spec: DistillSpec, mesh: Mesh,
-                           videos_per_device: int = 1,
                            reselect: bool = None,
                            with_class_mask: bool = False):
-    """V concurrent per-video rounds, V = device count * videos_per_device.
+    """V concurrent per-video rounds, V a multiple of the device count.
 
     All per-video state (params, opt, mask, buffers) carries a leading V
     axis sharded over the whole mesh; each device executes its local
-    videos' full rounds sequentially (a static loop — local shards larger
-    than one video are NOT dropped).  Signature:
+    videos' full rounds sequentially (a static loop whose bound is the
+    traced local-shard shape, so shards larger than one video are never
+    dropped).  Signature:
         fn(params_V, opt_V, frames_V, labels_V, n_valid_V, rngs_V, lr,
            mask_V[, class_mask_V]) -> (params_V, opt_V, mask_V, losses_V)
 
@@ -97,17 +100,22 @@ def make_multi_video_round(spec: DistillSpec, mesh: Mesh,
     (the single-video loop's exp_configs.class_weights semantics,
     run.py:140-152).
     """
+    # dp+sp named axes are meaningless inside the shard_map body (the mesh
+    # axes are already consumed by the per-video mapping) and would fail at
+    # trace time deep in draw(); this factory's parallelism IS the V axis
+    spec = dataclasses.replace(spec, batch_axis=None, width_axis=None)
     base = make_distill_round(spec)
     axes = tuple(mesh.axis_names)
     lead = P(axes)
     if reselect is None:
         reselect = spec.strategy == "coord_desc_auto"
-    local_v = videos_per_device
 
     def per_shard(params, opt, frames, labels, n_valid, rng, lr, mask,
                   class_mask=None):
         outs = []
-        for j in range(local_v):
+        # the local video count is the traced shard's leading dim — V may
+        # be any multiple of the mesh size with no extra configuration
+        for j in range(frames.shape[0]):
             sq = lambda t: jax.tree.map(lambda x: x[j], t)  # noqa: E731
             outs.append(base(sq(params), sq(opt), frames[j], labels[j],
                              n_valid[j], rng[j], lr, sq(mask),
@@ -190,4 +198,8 @@ def make_sharded_labeler(mesh: Mesh, teacher_params,
         return teacher_outputs(params, frames,
                                compute_dtype=compute_dtype)["predictions"]
 
+    # replicate the teacher ONCE: binding the caller's host/single-device
+    # arrays into the partial would re-broadcast ~all of Xception-65 on
+    # every labeling call
+    teacher_params = jax.device_put(teacher_params, repl)
     return functools.partial(label, teacher_params)

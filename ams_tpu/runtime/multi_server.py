@@ -132,8 +132,7 @@ class MultiVideoServer:
             import dataclasses
             spec = dataclasses.replace(self.spec, iters=iters)
             self._round_cache[key] = make_multi_video_round(
-                spec, self.mesh, videos_per_device=self.videos_per_device,
-                reselect=reselect, with_class_mask=True)
+                spec, self.mesh, reselect=reselect, with_class_mask=True)
         return self._round_cache[key]
 
     def train_round(self, iters: int, keep_mask: bool = False,
