@@ -76,11 +76,7 @@ def main(argv=None):
     print("connected; initial model deployed", flush=True)
 
     reader = PrefetchingVideoReader(a.input_video)
-    fps = int(reader.fps)
-    if fps <= 0:
-        print("WARNING: no fps metadata in %s; assuming 30" % a.input_video,
-              flush=True)
-        fps = 30
+    fps = int(reader.fps)  # VideoReader warns + assumes 30 on missing metadata
     size = (a.height, 2 * a.height)
     sample_fraction = a.sample_fraction
     if sample_fraction is None:

@@ -48,11 +48,20 @@ def mini_batch(deque_images, deque_labels, crop_size, scale, mini_batch_size,
                num_of_iterations, flip=False, rng=None):
     """Random pick + random scale + random crop sampler (host-side).
 
-    Faithful to utils/utils.py:129-185 including the per-scale resize cache.
-    Returns (iters, batch, H, W, 3) images and (iters, batch, H, W) labels.
+    Faithful to utils/utils.py:129-185 including the per-scale resize cache
+    and the reference's split RNG sources (np.random for pick/flip, stdlib
+    random for scale/crop).  Passing ``rng`` (a ``random.Random``) routes
+    ALL draws through it for reproducibility; the default keeps the
+    reference's global-state behavior.
     """
+    seeded = rng is not None
     rng = rng or random
-    nprng = np.random
+
+    def pick(n):
+        return rng.randrange(n) if seeded else np.random.choice(n)
+
+    def coin():
+        return rng.random() if seeded else np.random.random()
     imgs = list(deque_images)
     lbls = list(deque_labels)
     cache_i = {s: {} for s in scale}
@@ -64,7 +73,7 @@ def mini_batch(deque_images, deque_labels, crop_size, scale, mini_batch_size,
     total = len(imgs)
     for i in range(num_of_iterations):
         for j in range(mini_batch_size):
-            pic = nprng.choice(total)
+            pic = pick(total)
             hh, ww = imgs[pic].shape[:2]
             s = scale[rng.randint(0, len(scale) - 1)]
             actual = s * crop_size[1] / ww
@@ -85,7 +94,7 @@ def mini_batch(deque_images, deque_labels, crop_size, scale, mini_batch_size,
                                                  interpolation=cv2.INTER_NEAREST)
             im = cache_i[s][pic][y:y + crop_size[0], x:x + crop_size[1]]
             lb = cache_l[s][pic][y:y + crop_size[0], x:x + crop_size[1]]
-            if flip and nprng.random() > 0.5:
+            if flip and coin() > 0.5:
                 im = np.flip(im, axis=1)
                 lb = np.flip(lb, axis=1)
             out_i[i][j] = im
@@ -113,18 +122,35 @@ class FrameMemory:
 
     def extend(self, frames: Sequence[np.ndarray],
                labels: Sequence[np.ndarray]) -> None:
+        # ValueError, not assert: the live server feeds peer-controlled
+        # wire data straight in here, and asserts vanish under python -O
+        # (zip would also silently truncate a length mismatch)
+        if len(frames) != len(labels):
+            raise ValueError("frame/label count mismatch: %d vs %d"
+                             % (len(frames), len(labels)))
         for f, l in zip(frames, labels):
-            assert f.shape == (self.height, self.width, 3), f.shape
-            assert l.shape == (self.height, self.width), l.shape
+            f = np.asarray(f)
+            l = np.asarray(l)
+            if f.shape != (self.height, self.width, 3):
+                raise ValueError("frame shape %s != (%d, %d, 3)"
+                                 % (f.shape, self.height, self.width))
+            if l.shape != (self.height, self.width):
+                raise ValueError("label shape %s != (%d, %d)"
+                                 % (l.shape, self.height, self.width))
             self.frames.append(np.ascontiguousarray(f, dtype=np.uint8))
             self.labels.append(np.ascontiguousarray(l, dtype=np.uint8))
-
-    def append_frame_only(self, frame: np.ndarray) -> None:
-        self.frames.append(np.ascontiguousarray(frame, dtype=np.uint8))
 
     def clear(self) -> None:
         self.frames.clear()
         self.labels.clear()
+
+    def stacked(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Just the live rows, unpadded — for persistence (resume bundles),
+        where allocating the full zero-padded capacity would be waste."""
+        if not self.frames:
+            shape_f = (0, self.height, self.width, 3)
+            return np.zeros(shape_f, np.uint8), np.zeros(shape_f[:3], np.uint8)
+        return np.stack(list(self.frames)), np.stack(list(self.labels))
 
     def device_buffers(self) -> Tuple[np.ndarray, np.ndarray, int]:
         """(frames[capacity,H,W,3]u8, labels[capacity,H,W]u8, n_valid).

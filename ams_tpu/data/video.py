@@ -32,6 +32,13 @@ class VideoReader:
         if not self.cap.isOpened():
             raise IOError("Error opening video stream or file: %s" % path)
         self.fps = int(round(self.cap.get(cv2.CAP_PROP_FPS)))
+        if self.fps <= 0:
+            # containers without FPS metadata report 0; downstream divides
+            # by fps (send rates, schedule lengths), so a silent 0 means
+            # ZeroDivisionErrors or empty loops far from the cause
+            import warnings
+            warnings.warn("no fps metadata in %s; assuming 30" % path)
+            self.fps = 30
         self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
 
     def seek_frame(self, index: int) -> None:
@@ -175,6 +182,8 @@ def open_video(path: str, prefetch: bool = False):
 
 def frame_to_rgb(frame_bgr: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
     """Resize (bilinear) and convert BGR->RGB (run.py:181-182)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required for video IO")
     h, w = size_hw
     out = cv2.resize(frame_bgr, (w, h))
     return cv2.cvtColor(out, cv2.COLOR_BGR2RGB)
@@ -184,6 +193,8 @@ def load_gt_label(gt_path: str, index: int, size_hw: Optional[Tuple[int, int]]
                   = None, coco_map: Optional[np.ndarray] = None) -> np.ndarray:
     """Read gt_%06d.png (uint8 class ids) with optional NN resize + COCO
     remap (run.py:163, 183-187, 420-421)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required for video IO")
     path = "%sgt_%06d.png" % (gt_path, index)
     label = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if label is None:

@@ -4,7 +4,18 @@ experiments restart from scratch after any failure).
 After every training event the server persists a resume bundle: student
 params, Adam slots, the frame/label memory, the bandwidth logs and
 controller state.  ``train_model(cfg with resume=True, ...)`` fast-forwards
-the video to the saved second and continues identically.
+the video to the saved second and continues from the last completed event.
+
+Scope note: the bundle captures state at EVENT granularity.  In-flight
+sub-period state (the partially-filled frame_label_bucket since the last
+send tick, pending to_compress batches, the ASR observation window) is NOT
+captured, so a resumed run's sampling trajectory may differ from an
+uninterrupted one by up to one send period of samples; params, schedules,
+artifacts and bandwidth logs up to the saved event are exact.
+
+The bundle is two files (npz + meta json), each written atomically; a crash
+BETWEEN the two writes leaves a mismatched pair, which ``load_state``
+detects via a shared update_count token and refuses to load.
 """
 
 from __future__ import annotations
@@ -68,9 +79,12 @@ def save_state(prefix: str, *, network, memory, second: float, send_rate,
     arrays: dict = {}
     pack_params(arrays, network.get_vars())
     pack_adam(arrays, network.opt_state)
-    fbuf, lbuf, n = memory.device_buffers()
-    arrays["mem:frames"] = fbuf[:n]
-    arrays["mem:labels"] = lbuf[:n]
+    frames_n, labels_n = memory.stacked()
+    arrays["mem:frames"] = frames_n
+    arrays["mem:labels"] = labels_n
+    # the same token goes into BOTH files: load_state compares them to
+    # detect a crash that landed between the two atomic writes
+    arrays["meta:update_count"] = np.int64(update_count)
     write_bundle(npz_path, arrays)
     # float, not int: the live server's training clock carries fractional
     # seconds, and truncating here would shift a resumed session's schedule
@@ -99,6 +113,13 @@ def load_state(prefix: str):
         arrays = {k: z[k] for k in z.files}
     with open(meta_path) as f:
         meta = json.load(f)
+    token = arrays.pop("meta:update_count", None)
+    if token is not None and int(token) != int(meta["update_count"]):
+        raise RuntimeError(
+            "torn resume bundle: npz is from update %d but meta from %d — "
+            "the writer crashed between the two files; delete %s/%s to "
+            "restart from scratch" % (int(token), int(meta["update_count"]),
+                                      npz_path, meta_path))
     return arrays, meta
 
 

@@ -63,6 +63,7 @@ def merge_restore(params: dict, restored: Mapping[str, np.ndarray]) -> dict:
     after filtering, as in SaveHelper.restore_vars.
     """
     out = dict(params)
+    matched = 0
     for k, v in restored.items():
         k = strip_suffix(k)
         if k in out:
@@ -72,6 +73,16 @@ def merge_restore(params: dict, restored: Mapping[str, np.ndarray]) -> dict:
                     f"shape mismatch for {k}: ckpt {v.shape} vs model "
                     f"{np.shape(out[k])}")
             out[k] = v
+            matched += 1
+    if restored and not matched:
+        # a checkpoint whose keys match NOTHING is the wrong checkpoint
+        # (e.g. a student .npy passed as the teacher): returning the base
+        # unchanged would silently run on random init
+        sample = sorted(restored)[:3]
+        raise ValueError(
+            "checkpoint matches none of the model's %d variables "
+            "(checkpoint keys look like %s) — wrong checkpoint?"
+            % (len(out), sample))
     return out
 
 

@@ -74,3 +74,15 @@ def test_teacher_prefixed_npy_checkpoint(tmp_path):
     k0 = "xception_65/entry_flow/conv1_2/weights"
     np.testing.assert_array_equal(np.asarray(teacher["params"][k0]),
                                   np.asarray(base[k0]))
+
+
+def test_merge_restore_rejects_zero_overlap():
+    """A checkpoint matching NOTHING is the wrong checkpoint — returning
+    the base unchanged would silently run on random init (e.g. a student
+    .npy passed as the teacher)."""
+    base = {"a/weights": np.zeros((2,)), "b/weights": np.ones((3,))}
+    with pytest.raises(ValueError, match="wrong checkpoint"):
+        ckpt.merge_restore(base, {"completely/other": np.zeros((2,))})
+    # empty restore dicts stay a no-op (fresh runs restore nothing)
+    out = ckpt.merge_restore(base, {})
+    assert out.keys() == base.keys()
