@@ -32,6 +32,44 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
+def _load_teacher_params(teacher_checkpoint: Optional[str], seed: int):
+    """Teacher params from a checkpoint, or seeded synthetic — NEVER
+    silently: a typo'd path would label/distill against random-teacher
+    noise, so the fallback always announces itself."""
+    if teacher_checkpoint:
+        try:
+            loaded = ckpt.load_any(teacher_checkpoint)
+            loaded = {k.removeprefix("teacher/"): v
+                      for k, v in loaded.items()}
+            base = init_teacher_params(jax.random.PRNGKey(seed))
+            return {k: jnp.asarray(v)
+                    for k, v in ckpt.merge_restore(base, loaded).items()}
+        except FileNotFoundError:
+            print("WARNING: teacher checkpoint %r not found — labeling "
+                  "with a SEEDED SYNTHETIC teacher (tests/demos only)"
+                  % teacher_checkpoint, flush=True)
+    return init_teacher_params(jax.random.PRNGKey(seed))
+
+
+def _make_predict(compute_dtype: str):
+    """Jitted argmax-label fn; bf16 takes the fused Pallas fast path."""
+    cd = jnp.dtype(compute_dtype)
+    if cd == jnp.bfloat16:
+        from ams_tpu.models.xception_deeplab import teacher_predict_fast
+
+        @jax.jit
+        def predict(p, frames):
+            # interpret=None: the fused kernel auto-falls back to
+            # interpreter mode off-TPU (Mosaic only lowers on TPU)
+            return teacher_predict_fast(p, frames)
+    else:
+        @jax.jit
+        def predict(p, frames):
+            return teacher_outputs(p, frames,
+                                   compute_dtype=cd)["predictions"]
+    return predict
+
+
 def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
                          compute_dtype: str = "bfloat16", seed: int = 0):
     """-> labeler(frames uint8 (N,H,W,3) RGB) -> labels uint8 (N,H,W).
@@ -42,41 +80,15 @@ def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
     no checkpoint (or missing blobs) the teacher is seeded synthetic —
     fine for tests/demos, garbage labels for real use.
     """
-    params = None
-    if teacher_checkpoint:
-        try:
-            loaded = ckpt.load_any(teacher_checkpoint)
-            loaded = {k.removeprefix("teacher/"): v
-                      for k, v in loaded.items()}
-            base = init_teacher_params(jax.random.PRNGKey(seed))
-            params = {k: jnp.asarray(v)
-                      for k, v in ckpt.merge_restore(base, loaded).items()}
-        except FileNotFoundError:
-            # loud: a typo'd path here would silently distill every edge
-            # client toward random-teacher labels
-            print("WARNING: teacher checkpoint %r not found — labeling "
-                  "with a SEEDED SYNTHETIC teacher (tests/demos only)"
-                  % teacher_checkpoint, flush=True)
-    if params is None:
-        params = init_teacher_params(jax.random.PRNGKey(seed))
-
-    cd = jnp.dtype(compute_dtype)
-    if cd == jnp.bfloat16:
-        from ams_tpu.models.xception_deeplab import teacher_predict_fast
-
-        @jax.jit
-        def predict(p, frames):
-            return teacher_predict_fast(p, frames)
-    else:
-        @jax.jit
-        def predict(p, frames):
-            return teacher_outputs(p, frames,
-                                   compute_dtype=cd)["predictions"]
+    params = _load_teacher_params(teacher_checkpoint, seed)
+    predict = _make_predict(compute_dtype)
 
     def label(frames: np.ndarray) -> np.ndarray:
         arr = np.pad(np.asarray(frames, np.uint8),
                      ((0, 0), (1, 0), (1, 0), (0, 0)), mode="symmetric")
-        preds = np.asarray(predict(params, jnp.asarray(arr, jnp.float32)))
+        # ship uint8: the model casts on device (xception_deeplab
+        # teacher_logits), and f32 staging would 4x the host->device bytes
+        preds = np.asarray(predict(params, jnp.asarray(arr)))
         return preds[:, 1:, 1:].astype(np.uint8)
 
     return label
@@ -95,33 +107,8 @@ def extract_labels(input_video: str, dump_path: str,
     exp_num = exp_configs.video_exp_num(input_video)
     cmap = colormap()
 
-    params = None
-    if teacher_checkpoint:
-        try:
-            loaded = ckpt.load_any(teacher_checkpoint)
-            loaded = {k.removeprefix("teacher/"): v for k, v in loaded.items()}
-            base = init_teacher_params(jax.random.PRNGKey(0))
-            params = {k: jnp.asarray(v)
-                      for k, v in ckpt.merge_restore(base, loaded).items()}
-        except FileNotFoundError:
-            pass
-    if params is None:
-        params = init_teacher_params(jax.random.PRNGKey(0))
-
-    cd = jnp.dtype(compute_dtype)
-    if cd == jnp.bfloat16:
-        from ams_tpu.models.xception_deeplab import teacher_predict_fast
-
-        @jax.jit
-        def predict(p, frames):
-            # interpret=None: the fused kernel auto-falls back to
-            # interpreter mode off-TPU (Mosaic only lowers on TPU)
-            return teacher_predict_fast(p, frames)
-    else:
-        @jax.jit
-        def predict(p, frames):
-            return teacher_outputs(p, frames,
-                                   compute_dtype=cd)["predictions"]
+    params = _load_teacher_params(teacher_checkpoint, seed=0)
+    predict = _make_predict(compute_dtype)
 
     reader = VideoReader(input_video)
     fps = reader.fps

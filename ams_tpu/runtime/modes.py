@@ -53,7 +53,9 @@ def _run_experiment(cfg: RunConfig) -> None:
         k1s = list(cfg.horizon_k1s)
         k2 = cfg.horizon_k2s[-1]
         number_of_points = cfg.horizon_points
-        step = (length - k2 - k1s[-1]) // (number_of_points - 1)
+        # horizon_points=1 profiles a single time point (short clips)
+        step = 0 if number_of_points <= 1 else \
+            (length - k2 - k1s[-1]) // (number_of_points - 1)
         if not cfg.only_results:
             run_label = "pretrained"
             train_model(cfg, 0, 1, cfg.send_period, run_label, cfg.gt_video,

@@ -89,6 +89,8 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
     capacity = int(cfg.memory_len / sampling_period * fps)
     memory = FrameMemory(capacity, size[0], size[1])
     to_compress: List[np.ndarray] = []
+    labels_pending: List[np.ndarray] = []  # staged until the codec returns
+    # this period's decoded frames, so only matched pairs enter the memory
     label_memory = memory.labels  # shared deque, reference keeps two deques
 
     network = SemanticNetwork(
@@ -100,40 +102,45 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
         conv_precision=cfg.conv_precision,
         over_ride_total_classes=exp_configs.num_classes(exp_num))
 
-    save_dir = get_save_dir(cfg, run_label + "_%d" % train_start)
-    network.save_to_frozen_graph(save_dir + "_final", fold=cfg.fold_deploy)
-    print_process("Saved model to %s_final.npz" % save_dir, 0)
-
     resume_prefix = get_save_dir(cfg, run_label)
+    bundle = None
     if cfg.resume:
         from ams_tpu.runtime import resume as resume_mod
         bundle = resume_mod.load_state(resume_prefix)
-        if bundle is not None:
-            arrays, meta = bundle
-            resume_mod.restore_network(network, arrays)
-            resume_mod.restore_memory(memory, arrays)
-            i = int(meta["second"])
-            reader.seek_frame(i)
-            send_rate = meta["send_rate"]
-            if asr is not None:
-                asr.send_rate = send_rate  # controller continues, not resets
-            sample_per_period = list(meta["sample_per_period"])
-            up_bw_per_period = list(meta["up_bw"])
-            up_codec_exact = list(meta.get("up_codec_exact",
-                                           [True] * len(up_bw_per_period)))
-            down_bw_per_period = list(meta["down_bw"])
-            model_save_times = list(meta["model_save_times"])
-            save_range = list(meta["save_range"])
-            trained_seconds = set(meta["trained_seconds"])
-            update_count = int(meta["update_count"])
-            if atr is not None and meta.get("atr"):
-                atr.hibernating = meta["atr"]["hibernating"]
-                atr.current = meta["atr"]["current"]
-                for r in meta["atr"]["history"]:
-                    atr.send_rate_history.append(r)
-            save_dir = get_save_dir(
-                cfg, run_label + "_%d" % (i // fps))
-            print_process("Resumed from frame %d" % i, i / fps)
+
+    save_dir = get_save_dir(cfg, run_label + "_%d" % train_start)
+    if bundle is None:
+        # only on a FRESH run: re-saving the pretrained snapshot on resume
+        # would clobber the original run's trained first-event deploy
+        # artifact (the resumed run never revisits that event)
+        network.save_to_frozen_graph(save_dir + "_final",
+                                     fold=cfg.fold_deploy)
+        print_process("Saved model to %s_final.npz" % save_dir, 0)
+    else:
+        arrays, meta = bundle
+        resume_mod.restore_network(network, arrays)
+        resume_mod.restore_memory(memory, arrays)
+        i = int(meta["second"])
+        reader.seek_frame(i)
+        send_rate = meta["send_rate"]
+        if asr is not None:
+            asr.send_rate = send_rate  # controller continues, not resets
+        sample_per_period = list(meta["sample_per_period"])
+        up_bw_per_period = list(meta["up_bw"])
+        up_codec_exact = list(meta.get("up_codec_exact",
+                                       [True] * len(up_bw_per_period)))
+        down_bw_per_period = list(meta["down_bw"])
+        model_save_times = list(meta["model_save_times"])
+        save_range = list(meta["save_range"])
+        trained_seconds = set(meta["trained_seconds"])
+        update_count = int(meta["update_count"])
+        if atr is not None and meta.get("atr"):
+            atr.hibernating = meta["atr"]["hibernating"]
+            atr.current = meta["atr"]["current"]
+            for r in meta["atr"]["history"]:
+                atr.send_rate_history.append(r)
+        save_dir = get_save_dir(cfg, run_label + "_%d" % (i // fps))
+        print_process("Resumed from frame %d" % i, i / fps)
 
     while i < train_end_frame:
         frame = reader.read_or_die()
@@ -158,14 +165,20 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
                 if map_coco is not None:
                     label_r = map_coco[label_r].astype(np.uint8)
                 to_compress.append(frame_r)
-                memory.labels.append(np.ascontiguousarray(label_r, np.uint8))
+                labels_pending.append(np.ascontiguousarray(label_r, np.uint8))
             frame_label_bucket.clear()
 
             num_frames = len(to_compress)
             sample_per_period.append(num_frames)
-            num_unseen_frames += num_frames
 
-            if cfg.compress_uplink:
+            if not to_compress:
+                # an empty draw (low send_rate x short bucket) still ticks
+                # the period artifacts; the H.264 encoder would crash on
+                # zero frames
+                up_bw_per_period.append(0.0)
+                up_codec_exact.append(True)
+                decoded: List[np.ndarray] = []
+            elif cfg.compress_uplink:
                 res = uplink_codec.encode_decode_h264(
                     to_compress,
                     bitrate_kbps=cfg.uplink_bw * sample_send_period,
@@ -173,8 +186,8 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
                     work_dir=cfg.output_dir or None)
                 up_bw_per_period.append(res.bits)
                 up_codec_exact.append(bool(res.exact_reference_codec))
-                for f in res.frames:
-                    memory.frames.append(np.ascontiguousarray(f, np.uint8))
+                decoded = [np.ascontiguousarray(f, np.uint8)
+                           for f in res.frames]
                 print_process("Uplink video: %.2fKb (%.2fKb/frame)%s"
                               % (res.bits, res.bits / max(num_frames, 1),
                                  "" if res.exact_reference_codec
@@ -183,16 +196,23 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
                 bits = uplink_codec.png_size_probe(to_compress)
                 up_bw_per_period.append(bits)
                 up_codec_exact.append(True)
-                for f in to_compress:
-                    memory.frames.append(np.ascontiguousarray(f, np.uint8))
+                decoded = [np.ascontiguousarray(f, np.uint8)
+                           for f in to_compress]
             to_compress.clear()
-            # Lossy codecs may decode one frame more/less than the labels
-            # appended this period; realign NOW so the offset can't compound
-            # across periods (pairing frames with stale labels).
-            while len(memory.frames) > len(memory.labels):
-                memory.frames.pop()
-            while len(memory.labels) > len(memory.frames):
-                memory.labels.pop()
+            # Ingest only MATCHED pairs: lossy codecs may decode one frame
+            # more/less than the labels staged this period, and once both
+            # deques sit at capacity a length comparison is blind (appends
+            # drop oldest entries from both, lengths stay equal while the
+            # pairing shifts) — so pair BEFORE the memory, never after.
+            k = min(len(decoded), len(labels_pending))
+            if k < max(len(decoded), len(labels_pending)):
+                print_process("Uplink codec returned %d frames for %d "
+                              "labels; keeping %d matched pairs"
+                              % (len(decoded), len(labels_pending), k),
+                              i / fps)
+            memory.extend(decoded[:k], labels_pending[:k])
+            labels_pending.clear()
+            num_unseen_frames += k
 
         if i // fps in save_range and i // fps not in trained_seconds:
             trained_seconds.add(i // fps)
@@ -234,12 +254,9 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
                   % (cfg.iter, 1000 * (time.time() - t1)))
 
             # Downlink: encode the delta payload and account its bits.
-            params_by_name = dict(zip(
-                _delta_names(network, cfg.train_strategy),
-                network.train_params))
-            masks_by_name = dict(zip(
-                _delta_names(network, cfg.train_strategy),
-                network.curr_mask))
+            names = _delta_names(network, cfg.train_strategy)
+            params_by_name = dict(zip(names, network.train_params))
+            masks_by_name = dict(zip(names, network.curr_mask))
             # Coord deltas append the BN moving-statistics annex by
             # default: the stats advance every round (their updates are
             # never masked/reverted) but the reference wire omits them, so
