@@ -31,15 +31,15 @@ from ams_tpu.utils.metrics import confusion_matrix
 
 
 def _load_student(meta_dir, num_classes=19, seed=0):
+    # meta_dir=None is the explicit random-init opt-in; a missing PATH must
+    # raise (same invariant as SemanticNetwork: a typo'd checkpoint must
+    # never silently hand back a fresh init at random accuracy)
     base = init_student_params(jax.random.PRNGKey(seed),
                                num_classes=num_classes)
     if meta_dir is None:
         return base
-    try:
-        return {k: jnp.asarray(v) for k, v in
-                ckpt.merge_restore(base, ckpt.load_any(str(meta_dir))).items()}
-    except FileNotFoundError:
-        return base
+    return {k: jnp.asarray(v) for k, v in
+            ckpt.merge_restore(base, ckpt.load_any(str(meta_dir))).items()}
 
 
 # --- the reference's trainable-variable filters --------------------------
@@ -145,6 +145,59 @@ def create_student_v3(meta_dir, class_weights=None, threshold=None,
         red, w, _ = reduce_labels(labels, ci, num_classes)
         return confusion_matrix(red, preds, n_sel, w)
 
+    # --- live train ops (graph_utils.py:459-496) ------------------------
+    # The reference's v3 train minimizes over ALL trainables under BN
+    # control deps, so the moving statistics advance every step; the
+    # masked variant (masked_gradients=True, :482-493) backs params up,
+    # steps, then tf.where-reverts unmasked coords — slots still advance.
+    from ams_tpu.distill.optimizer import adam_apply, adam_init
+    from ams_tpu.distill.train_step import split_params
+    from ams_tpu.models import layers
+
+    def opt_init():
+        return adam_init(split_params(params)[0])
+
+    def _step(params_all, opt_state, frames, labels, lr, masks,
+              teacher_logits):
+        sub, bn_state = split_params(params_all)
+
+        def f(s):
+            merged = dict(s)
+            merged.update(bn_state)
+            stats_cap = {}
+            loss, _ = distill_loss(
+                merged, frames, labels, ci, num_classes, train=True,
+                teacher_logits=teacher_logits if soft_teacher else None,
+                stats_out=stats_cap)
+            if regularize:
+                reg = jnp.mean(jnp.stack([_l2_loss(merged[k])
+                                          for k in tvar_names]))
+                loss = loss + 0.01 * reg
+            return loss, stats_cap
+
+        (loss, stats_cap), grads = jax.value_and_grad(f, has_aux=True)(sub)
+        stepped, opt_state = adam_apply(sub, grads, opt_state,
+                                        jnp.float32(lr))
+        if masks is not None:
+            stepped = {k: jnp.where(masks[k], stepped[k], sub[k])
+                       for k in stepped}
+        out = {k: layers.moving_average_update(
+            bn_state[k], stats_cap[k], n_elems=1, decay=layers.BN_DECAY,
+            bessel=False) for k in bn_state}
+        out.update(stepped)
+        return out, opt_state, loss
+
+    @jax.jit
+    def train_fn(params, opt_state, frames, labels, lr, teacher_logits=None):
+        return _step(params, opt_state, frames, labels, lr, None,
+                     teacher_logits)
+
+    @jax.jit
+    def train_coord_fn(params, opt_state, frames, labels, lr, masks,
+                       teacher_logits=None):
+        return _step(params, opt_state, frames, labels, lr, masks,
+                     teacher_logits)
+
     return {
         "params": params,
         "class_indices": class_indices,
@@ -160,6 +213,9 @@ def create_student_v3(meta_dir, class_weights=None, threshold=None,
         "loss_sel": loss_sel_fn,
         "drift_loss": drift_fn,
         "update_op": miou_update_fn,   # returns the confusion-matrix delta
+        "train": train_fn,
+        "train_coord": train_coord_fn,  # masked step; slots still advance
+        "opt_init": opt_init,
         "training_var_names": tvar_names,
         "soft_teacher": soft_teacher,
         "masked_gradients": masked_gradients,
@@ -243,7 +299,12 @@ def _legacy_student(meta_dir, class_weights, threshold, map_misc,
 
     @jax.jit
     def train_fn(params, opt_state, frames, labels, lr):
-        """minimize(loss, var_list=tvars): only tvars move or carry slots."""
+        """minimize(loss, var_list=tvars): only tvars move or carry slots.
+
+        Deliberately does NOT advance BN moving statistics: the reference's
+        v1/v2 train ops are plain minimize() calls with no UPDATE_OPS
+        control deps (graph_utils.py:620,742), unlike v3's (:487-496) —
+        faithful parity includes that omission."""
         def f(sub):
             merged = dict(params)
             merged.update(sub)
@@ -328,16 +389,15 @@ def create_student(meta_dir, class_weights=None, threshold=None, map_misc=0,
 
 
 def _load_teacher(meta_dir, seed=0):
+    # same invariant as _load_student: None opts into random init, a
+    # missing path raises
     base = init_teacher_params(jax.random.PRNGKey(seed))
     if meta_dir is None:
         return base
-    try:
-        loaded = ckpt.load_any(str(meta_dir))
-        loaded = {k.removeprefix("teacher/"): v for k, v in loaded.items()}
-        return {k: jnp.asarray(v)
-                for k, v in ckpt.merge_restore(base, loaded).items()}
-    except FileNotFoundError:
-        return base
+    loaded = ckpt.load_any(str(meta_dir))
+    loaded = {k.removeprefix("teacher/"): v for k, v in loaded.items()}
+    return {k: jnp.asarray(v)
+            for k, v in ckpt.merge_restore(base, loaded).items()}
 
 
 def create_teacher(meta_dir, class_weights=None, test_mode=False) -> Dict:

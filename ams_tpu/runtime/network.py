@@ -426,7 +426,15 @@ class SemanticNetwork:
         fbuf = np.zeros((cap, self.height, 2 * self.height, 3), np.uint8)
         lbuf = np.zeros((cap, self.height, 2 * self.height), np.uint8)
         for i, (f, l) in enumerate(zip(frames, labels)):
-            fbuf[i] = np.asarray(f, np.uint8)
+            f = np.asarray(f)
+            if np.issubdtype(f.dtype, np.floating):
+                # a silent uint8 cast would truncate [0,1]-normalized float
+                # frames to all-zeros and train on black images; the device
+                # memory is uint8 by design (4x less HBM + transfer)
+                raise TypeError(
+                    "train memory expects uint8 frames (0-255); got dtype "
+                    "%s — scale and cast before training" % f.dtype)
+            fbuf[i] = f.astype(np.uint8, casting="same_kind")
             lbuf[i] = np.asarray(l, np.uint8)
         return jnp.asarray(fbuf), jnp.asarray(lbuf), n
 

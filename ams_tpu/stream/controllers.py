@@ -32,7 +32,15 @@ class ASRController:
         self.send_rate = float(initial_send_rate)
 
     def update(self, cross_mious: List[float]) -> float:
-        phi = float(np.mean(cross_mious))
+        # A label pair with zero selected-class pixels yields a NaN phi
+        # (all-zero cross confusion matrix -> all-NaN IoU); one such entry
+        # would otherwise poison send_rate permanently and later crash
+        # choose_frames (int(round(nan*n))).  Ignore non-finite entries;
+        # with none left, hold the current rate.
+        finite = [p for p in cross_mious if np.isfinite(p)]
+        if not finite:
+            return self.send_rate
+        phi = float(np.mean(finite))
         self.send_rate = float(np.clip(
             self.send_rate - self.GAIN * np.tanh((phi - self.CENTER) * self.SLOPE),
             self.LO, self.HI))

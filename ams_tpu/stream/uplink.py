@@ -38,10 +38,30 @@ FFMPEG = (os.environ.get("AMS_FFMPEG") or shutil.which("ffmpeg")
           or "/usr/bin/ffmpeg")
 
 
+def _ffmpeg_binary():
+    """Resolved encoder path, or None -> mp4v fallback.
+
+    An EXPLICITLY pinned AMS_FFMPEG must never silently degrade to the
+    fallback (its bandwidth numbers have no bitrate target): a pin that is
+    neither an existing path nor a PATH-resolvable name raises."""
+    pinned = os.environ.get("AMS_FFMPEG")
+    if pinned:
+        resolved = pinned if os.path.exists(pinned) else shutil.which(pinned)
+        if not resolved:
+            raise FileNotFoundError(
+                "AMS_FFMPEG=%r is neither an existing file nor on PATH — "
+                "refusing to silently fall back to the mp4v encoder"
+                % pinned)
+        return resolved
+    return FFMPEG if FFMPEG and os.path.exists(FFMPEG) else None
+
+
 @dataclasses.dataclass
 class UplinkResult:
     frames: List[np.ndarray]     # decoded (possibly degraded) RGB frames
-    bits: float                  # measured uplink payload size in bits
+    bits: float                  # payload size in KBITS (the reference's
+    # accounting unit, run.py:255-257 — the live wire's uplink_bits field
+    # counts true bits; don't compare the two without converting)
     exact_reference_codec: bool  # True when the ffmpeg 2-pass path ran
 
 
@@ -49,6 +69,8 @@ def png_size_probe(frames_bgr: List[np.ndarray], tmp_dir: Optional[str] = None
                    ) -> float:
     """Uncompressed-uplink accounting: PNG-encode each frame just to measure
     bytes (run.py:267-276).  Returns total size in Kbits."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required for uplink video IO")
     total_kb = 0.0
     for f in frames_bgr:
         ok, buf = cv2.imencode(".png", f)
@@ -88,12 +110,15 @@ def encode_h264_bytes(frames_bgr: List[np.ndarray], bitrate_kbps: float,
     """Encode the sample buffer and return the VIDEO BYTES (for shipping
     over a real uplink — runtime/live.py) -> (blob, exact_reference_codec).
     ffmpeg 2-pass H.264 when available, flagged cv2 mp4v otherwise."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required for uplink video IO")
     out_file, cleanup = _scratch_file(work_dir, "uplink_tx_")
     try:
         h_in, w_in = frames_bgr[0].shape[:2]
-        if os.path.exists(FFMPEG):
+        ffmpeg = _ffmpeg_binary()
+        if ffmpeg is not None:
             _ffmpeg_two_pass(frames_bgr, bitrate_kbps, (w_in, h_in), fps,
-                             out_file)
+                             out_file, binary=ffmpeg)
             exact = True
         else:
             writer = cv2.VideoWriter(out_file,
@@ -122,6 +147,8 @@ def decode_video_bytes(blob: bytes, out_hw: Tuple[int, int],
                        work_dir: Optional[str] = None) -> List[np.ndarray]:
     """Decode a shipped uplink video back to RGB frames at the training
     size (the server half of the real uplink)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required for uplink video IO")
     in_file, cleanup = _scratch_file(work_dir, "uplink_rx_")
     try:
         with open(in_file, "wb") as f:
@@ -159,7 +186,8 @@ def encode_decode_h264(frames_bgr: List[np.ndarray], bitrate_kbps: float,
 _MAX_PIPE_RETRIES = 5
 
 
-def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
+def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file,
+                     binary=None):
     """Reference ffmpeg invocation: raw bgr24 on stdin, libx264 2-pass at the
     target bitrate, retrying on BrokenPipeError (run.py:200-252).  Deliberate
     deviation: the reference retries FOREVER, but a broken pipe usually means
@@ -168,7 +196,8 @@ def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
     killed, so the retry is bounded and the final error carries ffmpeg's
     exit code."""
     w, h = size_wh
-    base = [FFMPEG, "-y", "-s", "%dx%d" % (w, h), "-pixel_format", "bgr24",
+    binary = binary or FFMPEG
+    base = [binary, "-y", "-s", "%dx%d" % (w, h), "-pixel_format", "bgr24",
             "-f", "rawvideo", "-r", str(fps), "-i", "pipe:",
             "-vcodec", "libx264", "-pix_fmt", "yuv420p", "-preset", "medium",
             "-b:v", "%dk" % int(bitrate_kbps),
@@ -189,7 +218,6 @@ def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
                         proc.stdin.write(f.tobytes())
                     proc.stdin.close()
                     rc = proc.wait()
-                    proc.terminate()
                     if rc != 0:
                         # deliberate deviation from the reference, which
                         # ignores the exit status (run.py:249-252) and
@@ -211,5 +239,5 @@ def _ffmpeg_two_pass(frames_bgr, bitrate_kbps, size_wh, fps, out_file):
                 raise RuntimeError(
                     "ffmpeg stdin pipe broke %d times in a row (last exit "
                     "rc=%s): %s" % (attempts, rc,
-                                    " ".join(cmd) if cmd else FFMPEG)) from e
+                                    " ".join(cmd) if cmd else binary)) from e
             continue

@@ -188,3 +188,46 @@ def test_v1_cache_flow():
     p, opt, l1 = s["train_cached"](s["params"], opt, jnp.float32(1e-2))
     p, opt, l2 = s["train_cached"](p, opt, jnp.float32(1e-2))
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+
+
+def test_v3_train_advances_bn_and_masks_freeze_params():
+    """The reference v3 train runs under BN control deps
+    (graph_utils.py:487-496): moving statistics advance every step; the
+    masked train_coord reverts unmasked coords while Adam slots advance."""
+    student = compat.create_student_v3(None, class_weights=_cw([0, 2, 13]))
+    params = student["params"]
+    opt = student["opt_init"]()
+    frames = jnp.asarray(np.random.RandomState(2).randint(
+        0, 256, (2, 32, 64, 3)), jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(3).randint(0, 19, (2, 32, 64)))
+
+    new_p, opt1, loss = student["train"](params, opt, frames, labels, 1e-3)
+    assert np.isfinite(float(loss))
+    assert set(new_p) == set(params)
+    stat = "MobilenetV2/Conv/BatchNorm/moving_mean"
+    assert not np.allclose(np.asarray(new_p[stat]), np.asarray(params[stat]))
+    w = "logits/semantic/weights"
+    assert not np.allclose(np.asarray(new_p[w]), np.asarray(params[w]))
+    assert int(opt1.step) == 1
+
+    # all-False masks: params bitwise-frozen, slots still advance
+    from ams_tpu.distill.train_step import split_params
+    sub, _ = split_params(params)
+    masks = {k: jnp.zeros(v.shape, bool) for k, v in sub.items()}
+    frozen_p, opt2, _ = student["train_coord"](params, opt, frames, labels,
+                                               1e-3, masks)
+    for k in sub:
+        np.testing.assert_array_equal(np.asarray(frozen_p[k]),
+                                      np.asarray(params[k]))
+    assert int(opt2.step) == 1
+    assert not np.allclose(np.asarray(opt2.m[w]), 0.0)
+
+
+def test_compat_missing_checkpoint_raises():
+    """meta_dir=None opts into random init; a missing PATH must raise, not
+    silently hand back a fresh init (same invariant as SemanticNetwork)."""
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        compat.create_student_v3("/no/such/ckpt.npz")
+    with _pytest.raises(FileNotFoundError):
+        compat.create_teacher("/no/such/teacher.npz")

@@ -261,3 +261,17 @@ def test_atr_repeated_hibernation_cycles():
         first_hib = next(i for i in range(start, start + 30)
                          if periods[i] != 10)
         assert periods[first_hib] == 12, periods[start:start + 6]
+
+
+def test_asr_ignores_nonfinite_phis():
+    """A label pair with zero selected-class pixels yields NaN phi; one such
+    entry must not poison send_rate (clip(NaN)=NaN would then crash
+    choose_frames with int(round(nan*n)))."""
+    from ams_tpu.stream.controllers import ASRController
+
+    asr = ASRController(0.5)
+    rate = asr.update([0.9, float("nan"), 0.9])
+    assert np.isfinite(rate) and rate < 0.5  # high phi -> rate drops
+    # all-NaN event: hold the current rate
+    held = asr.update([float("nan")])
+    assert held == rate
