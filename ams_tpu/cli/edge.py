@@ -127,27 +127,40 @@ def main(argv=None):
             rgb = frame_to_rgb(frame, size)
             client.predict(rgb)  # local inference on the current model
             frames_done += 1
-            bucket.append((rgb, None))
+            # keep the raw decoded frame too: the compressed uplink encodes
+            # 2x-resolution resizes of the ORIGINAL frames (the emulation's
+            # run.py:179 parity), not the inference-size rgb
+            bucket.append((rgb, frame if a.compress_uplink else None))
             if frames_done % fps == 0:
                 second += 1
-                if a.max_seconds and second >= a.max_seconds:
-                    break
                 if second % a.send_period == 0:
-                    samples, _ = choose_frames(bucket, sample_fraction)
+                    samples, samples_raw = choose_frames(bucket,
+                                                         sample_fraction)
                     bucket = []
                     if samples:
-                        arr = np.stack(samples)
                         try:
                             if a.compress_uplink:
+                                import cv2
+                                two_x = np.stack([
+                                    cv2.cvtColor(
+                                        cv2.resize(f, (2 * size[1],
+                                                       2 * size[0])),
+                                        cv2.COLOR_BGR2RGB)
+                                    for f in samples_raw])
+                                # fps=10 + bitrate uplink_bw*send_period:
+                                # the emulation's encoder settings
+                                # (server.py), so live and emulated
+                                # bandwidth are comparable
                                 exact = client.send_samples_compressed(
-                                    arr, float(second),
+                                    two_x, float(second),
                                     bitrate_kbps=a.uplink_bw * a.send_period,
-                                    fps=fps)
+                                    fps=10)
                                 if not exact:
                                     print("WARNING: mp4v fallback uplink "
                                           "(no ffmpeg)", flush=True)
                             else:
-                                client.send_samples(arr, float(second))
+                                client.send_samples(np.stack(samples),
+                                                    float(second))
                         except (BrokenPipeError, ConnectionResetError):
                             # faulted/closed session: the reason (if any)
                             # arrives as an error 'Q' on the next poll
@@ -160,11 +173,14 @@ def main(argv=None):
                         if second - last_train_t >= a.train_period:
                             expected_rounds += 1
                             last_train_t = second
-                        up_bw_per_period.append(
-                            client.uplink_bits - last_uplink_bits)
-                        last_uplink_bits = client.uplink_bits
-                        samples_sent += len(samples)
-                        sample_per_period.append(len(samples))
+                    # an empty draw still ticks the period artifacts (the
+                    # emulation appends 0s too — period alignment matters
+                    # to the artifact consumers)
+                    up_bw_per_period.append(
+                        client.uplink_bits - last_uplink_bits)
+                    last_uplink_bits = client.uplink_bits
+                    samples_sent += len(samples)
+                    sample_per_period.append(len(samples))
                 n = client.poll_deltas()
                 if n:
                     log_new_deltas(second)
@@ -182,6 +198,12 @@ def main(argv=None):
                 wall_fps_per_second.append(
                     fps / max(time.time() - sec_t0, 1e-9))
                 sec_t0 = time.time()
+                # bound check AFTER the period block: breaking before it
+                # would silently drop the final complete period's uplink
+                # and training round whenever max_seconds is a multiple of
+                # send_period
+                if a.max_seconds and second >= a.max_seconds:
+                    break
     finally:
         reader.release()
         # apply any deltas still in flight (the server may be mid-round).
@@ -214,11 +236,17 @@ def main(argv=None):
         np.save(base + "_wall_fps.npy", np.asarray(wall_fps_per_second))
         with open(base + "_update.txt", "w") as f:
             # same 5-line format the emulation writes (runtime/server.py:
-            # total down bits, total up bits, updates, seconds, samples)
+            # total down bits, total up bits, updates, seconds, samples).
+            # The interval covers only THIS process's streamed window: on
+            # a resumed session the counters start at the resume point, so
+            # writing the full stream clock would skew every per-second
+            # rate plot_miou_mean derives from this file
+            start_second = int(client.resume_t or 0)
             f.write("%d\n%d\n%d\n%d\n%d" % (client.downlink_bits,
                                             client.uplink_bits,
                                             client.deltas_applied,
-                                            second, samples_sent))
+                                            second - start_second,
+                                            samples_sent))
         print("artifacts: %s_{bw_uplink,bw_downlink,model_update_times,"
               "fps_client,wall_fps}.npy + _update.txt" % base)
 

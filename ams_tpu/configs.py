@@ -33,6 +33,13 @@ VOC_LABELS = [
 ]
 
 
+def class_labels(exp_num: int):
+    """Class-name list matching the experiment's label space (19 =
+    Cityscapes, 21 = VOC — the LVS/COCO entries)."""
+    return list(VOC_LABELS) if num_classes(exp_num) == 21 \
+        else list(CITYSCAPES_LABELS)
+
+
 def _w19(indices):
     w = np.zeros(19, dtype=np.float32)
     w[list(indices)] = 1.0

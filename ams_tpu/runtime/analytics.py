@@ -36,13 +36,26 @@ def k1k2_plot(cfg: RunConfig, ts: List[int], k1s: List[int],
     res_conf = np.empty((len(k1s), len(k2s)))
     res_avg = np.empty((len(k1s), len(k2s)))
     res_mem = np.empty((len(k1s), len(k2s)))
+    # the artifact tag depends on (k1, t) but NOT the inner-loop k2 (the
+    # trained run always covers k2s[-1] seconds): cache the three loads so
+    # each file is read once instead of len(k2s) times
+    _loads: dict = {}
+
+    def _arts(tag):
+        if tag not in _loads:
+            base = get_save_dir(cfg, tag)
+            _loads[tag] = (np.load(base + "_mioucats.npy"),
+                           np.load(base + "_mious.npy"),
+                           np.load(base + "_mioumems.npy"))
+        return _loads[tag]
+
     for i_k1, k1 in enumerate(k1s):
         for i_k2, k2 in enumerate(k2s):
             d_conf, d_avg, d_mem = [], [], []
             for t in ts:
                 tag = "%d__%d__%d_f%d_results" % (t - k1, t, t + k2s[-1],
                                                   cfg.send_period)
-                tr_conf = np.load(get_save_dir(cfg, tag) + "_mioucats.npy")
+                tr_conf, tr_miou, tr_mem = _arts(tag)
                 assert tr_conf[:k2 * fps].shape == \
                     pre_conf[t * fps:(t + k2) * fps].shape
                 pre = np.nanmean(calculate_miou(
@@ -52,11 +65,9 @@ def k1k2_plot(cfg: RunConfig, ts: List[int], k1s: List[int],
                     np.sum(tr_conf[:k2 * fps], axis=0), nan=True))
                 d_conf.append(tr - pre)
 
-                tr_miou = np.load(get_save_dir(cfg, tag) + "_mious.npy")
                 d_avg.append(np.mean(tr_miou[:k2 * fps]) -
                              np.mean(pre_miou[t * fps:(t + k2) * fps]))
 
-                tr_mem = np.load(get_save_dir(cfg, tag) + "_mioumems.npy")
                 d_mem.append(np.mean(tr_mem[:k2 * fps]) -
                              np.mean(pre_mem[t * fps:(t + k2) * fps]))
             res_conf[i_k1, i_k2] = np.mean(d_conf)

@@ -35,6 +35,8 @@ def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
                  load_range: List[int]) -> None:
     assert inf_end - inf_start != 0, \
         "There should be at least one set of data points"
+    if cfg.save_pic and cv2 is None:
+        raise RuntimeError("--save_pic requires OpenCV")
     size = cfg.size
     # decode ahead on a worker thread so video decode overlaps device
     # compute (the reference decodes inline per iteration)
@@ -89,7 +91,8 @@ def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
             print_process("\n\n%s" % string_class_iou(
                 [iou_class, false_neg, false_pos], population=pop_class,
                 headers=["Class IoU", "False Negative", "False Positive"],
-                class_weights=exp_configs.class_weights(exp_num)), i / fps)
+                class_weights=exp_configs.class_weights(exp_num),
+                labels=exp_configs.class_labels(exp_num)), i / fps)
 
         if cfg.save_pic:
             save_dir_pic = final_save_dir + ("_%d_" % (i / fps))

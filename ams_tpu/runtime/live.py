@@ -601,6 +601,48 @@ class LiveClient:
         self.delta_bits: list = []  # per-delta payload bits, in order
         self.server_error: Optional[str] = None  # from an error 'Q'
         self.closed = False  # set on EOF / 'Q' from the server
+        self._pending: list = []  # messages drained mid-send (see below)
+
+    def _send_msg_draining(self, mtype: bytes, payload: bytes) -> None:
+        """send_msg that drains incoming messages while write-blocked.
+
+        Both directions can carry multi-MB payloads (uncompressed sample
+        batches up, full_model deltas down).  A blocking sendall while the
+        server is itself mid-sendall of a delta is a distributed deadlock:
+        neither side reads, both socket buffers fill, both block forever
+        (until the server's idle reaper kills the session).  Draining the
+        read side whenever the write side would block breaks the cycle;
+        drained messages queue for the next poll_deltas."""
+        import select
+
+        data = _HDR.pack(mtype, len(payload)) + payload
+        view = memoryview(data)
+        sent = 0
+        eof = False  # once the read side hits EOF it stays "readable"
+        self.sock.setblocking(False)
+        try:
+            while sent < len(view):
+                rlist = [] if eof else [self.sock]
+                r, w, _ = select.select(rlist, [self.sock], [], 30.0)
+                if r:
+                    self.sock.setblocking(True)
+                    try:
+                        got = recv_msg(self.sock)
+                    finally:
+                        self.sock.setblocking(False)
+                    self._pending.append(got)
+                    if got[0] is None:
+                        # EOF: stop draining (the socket would select
+                        # readable forever); the send below surfaces the
+                        # broken pipe to the caller once the buffer fills
+                        eof = True
+                if w:
+                    try:
+                        sent += self.sock.send(view[sent:])
+                    except (BlockingIOError, InterruptedError):
+                        continue
+        finally:
+            self.sock.setblocking(True)
 
     def send_samples(self, frames: np.ndarray, t: float) -> None:
         """Uplink a (N, H, 2H, 3) uint8 RGB frame batch stamped at stream
@@ -608,7 +650,7 @@ class LiveClient:
         emulation's PNG byte probe for the uncompressed path)."""
         payload = _npz_bytes(frames=np.asarray(frames, np.uint8),
                              t=np.float64(t))
-        send_msg(self.sock, b"F", payload)
+        self._send_msg_draining(b"F", payload)
         self.uplink_bits += len(payload) * 8
 
     def send_samples_compressed(self, frames: np.ndarray, t: float, *,
@@ -623,9 +665,9 @@ class LiveClient:
         bgr = [cv2.cvtColor(np.asarray(f, np.uint8), cv2.COLOR_RGB2BGR)
                for f in frames]
         blob, exact = encode_h264_bytes(bgr, bitrate_kbps, fps=fps)
-        send_msg(self.sock, b"V",
-                 _npz_bytes(blob=np.frombuffer(blob, np.uint8),
-                            t=np.float64(t)))
+        self._send_msg_draining(
+            b"V", _npz_bytes(blob=np.frombuffer(blob, np.uint8),
+                             t=np.float64(t)))
         self.uplink_bits += len(blob) * 8
         return exact
 
@@ -633,10 +675,13 @@ class LiveClient:
         """Apply any pending downlink deltas; returns how many."""
         applied = 0
         while True:
-            ready = _readable(self.sock, timeout if applied == 0 else 0.0)
-            if not ready:
-                return applied
-            mtype, payload = recv_msg(self.sock)
+            if self._pending:
+                mtype, payload = self._pending.pop(0)
+            else:
+                ready = _readable(self.sock, timeout if applied == 0 else 0.0)
+                if not ready:
+                    return applied
+                mtype, payload = recv_msg(self.sock)
             if mtype == b"Q" and payload:
                 self.server_error = payload.decode()  # faulted session
             if mtype in (None, b"Q"):

@@ -152,7 +152,11 @@ def string_class_iou(class_iou_list, population=None, headers=None,
         labels = list(CITYSCAPES_LABELS)
     if class_weights is not None:
         keep = np.where(np.asarray(class_weights).reshape(-1) == 1)[0]
-        labels = [labels[i] for i in keep]
+        # generic names rather than IndexError when the label space is
+        # wider than the provided name list (e.g. a 21-class experiment
+        # falling back to the 19-name Cityscapes default)
+        labels = [labels[i] if i < len(labels) else "class %d" % i
+                  for i in keep]
     if not isinstance(class_iou_list[0], list):
         class_iou_list = [class_iou_list]
     for i in range(len(class_iou_list[0])):

@@ -516,3 +516,76 @@ def test_live_is_serving_reflects_accept_loop_death():
     assert not server.is_serving()
     assert server.error is not None
     server._shutdown.set()  # close() would re-join; just reap threads
+
+
+def _bare_client(sock):
+    """A LiveClient shell around an existing socket (no handshake): the
+    unit under test is the wire layer, not the session."""
+    client = LiveClient.__new__(LiveClient)
+    client.sock = sock
+    client._pending = []
+    return client
+
+
+def test_send_draining_breaks_write_write_deadlock():
+    """Both ends mid-send of payloads far larger than the socket buffers —
+    the distributed-deadlock shape _send_msg_draining exists for.  The peer
+    uses a plain blocking sendall (the server's send_msg) and only reads
+    AFTER its own send completes; the client must drain the peer's message
+    while write-blocked, finish its send, and queue the drained message."""
+    import socket as socklib
+    import threading as th
+
+    from ams_tpu.runtime.live import recv_msg, send_msg
+
+    a, b = socklib.socketpair()
+    for s in (a, b):
+        s.setsockopt(socklib.SOL_SOCKET, socklib.SO_SNDBUF, 1 << 16)
+        s.setsockopt(socklib.SOL_SOCKET, socklib.SO_RCVBUF, 1 << 16)
+    client = _bare_client(a)
+
+    down = b"\xd0" * (8 << 20)  # server->client "delta"
+    up = b"\xf0" * (8 << 20)    # client->server "frame batch"
+    peer_got = []
+
+    def peer():
+        send_msg(b, b"D", down)          # blocks until the client drains
+        peer_got.append(recv_msg(b))     # then reads the client's message
+
+    def client_send():
+        client._send_msg_draining(b"F", up)
+
+    tp = th.Thread(target=peer, daemon=True)
+    tc = th.Thread(target=client_send, daemon=True)
+    tp.start()
+    tc.start()
+    tc.join(60.0)
+    assert not tc.is_alive(), "client send deadlocked"
+    tp.join(60.0)
+    assert not tp.is_alive(), "peer deadlocked"
+
+    assert peer_got == [(b"F", up)]
+    assert client._pending == [(b"D", down)]
+    a.close()
+    b.close()
+
+
+def test_send_draining_peer_close_raises_not_spins():
+    """A peer that disappears mid-send must surface as a socket error in
+    bounded time — EOF makes the read side permanently 'readable', and a
+    naive drain loop would spin appending EOF markers forever."""
+    import socket as socklib
+    import time as timelib
+
+    a, b = socklib.socketpair()
+    a.setsockopt(socklib.SOL_SOCKET, socklib.SO_SNDBUF, 1 << 16)
+    client = _bare_client(a)
+    b.close()
+
+    t0 = timelib.monotonic()
+    with pytest.raises(OSError):
+        client._send_msg_draining(b"F", b"\xf0" * (8 << 20))
+    assert timelib.monotonic() - t0 < 30.0
+    # at most one EOF marker queued, not an unbounded spin's worth
+    assert client._pending in ([], [(None, None)])
+    a.close()
