@@ -86,7 +86,12 @@ def distill_loss(params, frames, labels, class_indices, num_classes, *,
             the R@x@C^T form whose backward is MXU matmuls (the fast round).
 
     Returns:
-        (loss, aux) with aux = {'predictions', 'weights', 'logits_reduced'}.
+        (loss, aux).  On the standard paths aux = {'predictions',
+        'weights', 'logits_reduced', 'reduced_labels'}.  The fused path
+        (fused=True with hard labels) never materializes full-resolution
+        logits, so its aux = {'weights', 'reduced_labels',
+        'grid_logits_reduced'} — callers needing predictions there must
+        upsample+argmax the grid (ops.fused_resize_argmax).
     """
     if class_mask is not None:
         assert not fused, "class_mask is not supported on the fused path"
@@ -164,13 +169,23 @@ def distill_loss(params, frames, labels, class_indices, num_classes, *,
 
 def selective_loss(reduced_logits, reduced_labels, weights, n_selected):
     """Per-class selective CE sum (graph_utils.py:410-418): for each selected
-    class i, mean CE over valid pixels where label==i or prediction==i."""
+    class i, mean CE over valid pixels where label==i or prediction==i.
+
+    A diagnostic, not a training loss (the reference's train_selective op
+    is commented out, graph_utils.py:497).  Keeps the reference's NaN
+    convention: tf.reduce_mean(tf.boolean_mask(...)) over an EMPTY pixel
+    set is NaN, so a selected class absent from the batch (no pixel with
+    label==i or pred==i) makes that term — and the sum — NaN, exactly as
+    the reference's fetchable 'loss_sel' tensor does."""
     preds = jnp.argmax(reduced_logits, axis=-1)
     onehot = jax.nn.one_hot(reduced_labels, n_selected, dtype=jnp.float32)
     pixel_loss = softmax_xent_with_soft_labels(reduced_logits, onehot)
     valid = weights > 0
     total = 0.0
     for i in range(n_selected):
-        sel = jnp.logical_or(reduced_labels == i, preds == i)
-        total = total + masked_mean(pixel_loss, jnp.logical_and(valid, sel))
+        sel = jnp.logical_and(
+            valid, jnp.logical_or(reduced_labels == i, preds == i))
+        m = sel.astype(pixel_loss.dtype)
+        # deliberately unguarded: 0/0 -> NaN matches reduce_mean(empty)
+        total = total + jnp.sum(pixel_loss * m) / jnp.sum(m)
     return total

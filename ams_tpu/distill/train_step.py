@@ -29,7 +29,12 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ams_tpu.distill.loss import distill_loss, reduce_labels
+from ams_tpu.distill.loss import (
+    distill_loss,
+    masked_mean,
+    reduce_labels,
+    softmax_xent_with_soft_labels,
+)
 from ams_tpu.distill.optimizer import AdamState, adam_apply, adam_init  # noqa: F401
 from ams_tpu.models import layers
 from ams_tpu.models.mobilenetv2_deeplab import trainable_names, student_forward
@@ -273,10 +278,11 @@ def make_predict_fn(num_classes, class_indices, *, train_bn: bool,
         red_labels, weights, filtered_onehot = reduce_labels(
             labels, ci, num_classes)
         cm = confusion_matrix(red_labels, preds, n_sel, weights)
-        logp = jax.nn.log_softmax(reduced_logits, axis=-1)
-        pixel_loss = -jnp.sum(filtered_onehot * logp, axis=-1)
-        wsum = jnp.maximum(jnp.sum(weights), 1.0)
-        loss = jnp.sum(pixel_loss * weights) / wsum
+        # same CE/masking semantics as the training loss — shared helpers
+        # so the metric and loss paths cannot drift apart
+        pixel_loss = softmax_xent_with_soft_labels(reduced_logits,
+                                                   filtered_onehot)
+        loss = masked_mean(pixel_loss, weights)
         return preds, cm, loss
 
     return predict

@@ -36,9 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _round_up(x, m):
-    return (x + m - 1) // m * m
-
+from ams_tpu.ops.common import relu6 as _relu6, round_up as _round_up
 
 def stage_geometry(h, w, rate_max, trb=4):
     """(Hp, Wp, TRb) for a fused stage: Wp a multiple of 4 so each band
@@ -48,10 +46,6 @@ def stage_geometry(h, w, rate_max, trb=4):
     wp = _round_up(w + 2 * rate_max, 4)
     hp = trb * (2 + -(-h // trb))
     return hp, wp, trb
-
-
-def _relu6(x):
-    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
 
 
 def _mask_for(start, n, wp, row_lo, row_hi, col_lo, col_hi, dtype):

@@ -44,15 +44,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ams_tpu.ops.common import relu6 as _relu6, round_up as _round_up
+
 _SUBLANE = 16  # bf16 sublane tile
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
-
-
-def _relu6(x):
-    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
 
 
 def _same_pad_lo(size, stride, k=3):

@@ -31,17 +31,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ams_tpu.ops.fused_resize_argmax import _resize_matrix
+from ams_tpu.models.resize import resize_matrix
 
 
-def _make_kernel(nc: int):
+def _make_kernel(nc: int, want_grad: bool):
     def kernel(l_ref, r_ref, c_ref, lab_ref, w_ref,
-               num_ref, den_ref, grad_ref):
-        t = pl.program_id(1)
+               num_ref, den_ref, grad_ref=None):
+        if want_grad:
+            t = pl.program_id(1)
 
-        @pl.when(t == 0)
-        def _():
-            grad_ref[0] = jnp.zeros_like(grad_ref[0])
+            @pl.when(t == 0)
+            def _():
+                grad_ref[0] = jnp.zeros_like(grad_ref[0])
 
         labels = lab_ref[0]
         valid = w_ref[0].astype(jnp.float32)
@@ -76,21 +77,28 @@ def _make_kernel(nc: int):
         num_ref[0, 0] = jnp.where(corner, jnp.sum(ce * valid), 0.0)
         den_ref[0, 0] = jnp.where(corner, jnp.sum(valid), 0.0)
 
-        # Unnormalized grid-logit gradient, accumulated across row tiles.
-        for k in range(nc):
-            g_u = (exps[k] * inv - (labels == k).astype(jnp.float32)) * valid
-            ga = jnp.dot(g_u, c_ref[:].T, preferred_element_type=jnp.float32)
-            gl = jnp.dot(r_ref[:].T, ga, preferred_element_type=jnp.float32)
-            grad_ref[0, k] += gl
+        # Unnormalized grid-logit gradient, accumulated across row tiles
+        # (two extra MXU matmuls per class — skipped entirely on the
+        # forward-only path, which never reads it).
+        if want_grad:
+            for k in range(nc):
+                g_u = (exps[k] * inv
+                       - (labels == k).astype(jnp.float32)) * valid
+                ga = jnp.dot(g_u, c_ref[:].T,
+                             preferred_element_type=jnp.float32)
+                gl = jnp.dot(r_ref[:].T, ga,
+                             preferred_element_type=jnp.float32)
+                grad_ref[0, k] += gl
 
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_hw", "tile_h", "interpret"))
+                   static_argnames=("out_hw", "tile_h", "interpret",
+                                    "want_grad"))
 def _fused_parts(grid_logits, labels, weights, out_hw, tile_h=64,
-                 interpret=None):
-    """-> (num (B,T), den (B,T), grad_unnormalized (B,C,gh,gw))."""
+                 interpret=None, want_grad=True):
+    """-> (num (B,T), den (B,T)[, grad_unnormalized (B,C,gh,gw)])."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, gh, gw, nc = grid_logits.shape
@@ -98,9 +106,9 @@ def _fused_parts(grid_logits, labels, weights, out_hw, tile_h=64,
     tile_h = max(8, (tile_h // 8) * 8)
     h_pad = -(-h // tile_h) * tile_h
     r = np.zeros((h_pad, gh), np.float32)
-    r[:h] = _resize_matrix(gh, h)
+    r[:h] = resize_matrix(gh, h)
     r = jnp.asarray(r)
-    c = jnp.asarray(_resize_matrix(gw, w).T)
+    c = jnp.asarray(resize_matrix(gw, w).T)
     grid_cm = jnp.transpose(grid_logits.astype(jnp.float32), (0, 3, 1, 2))
 
     # pad labels/weights rows to h_pad; padded rows carry weight 0
@@ -111,13 +119,25 @@ def _fused_parts(grid_logits, labels, weights, out_hw, tile_h=64,
 
     n_tiles = h_pad // tile_h
     grid = (b, n_tiles)
-    num, den, grad = pl.pallas_call(
-        _make_kernel(nc),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n_tiles, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_tiles, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, nc, gh, gw), jnp.float32),
-        ),
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_tiles, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b, n_tiles, 8, 128), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if want_grad:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, nc, gh, gw), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, nc, gh, gw), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        _make_kernel(nc, want_grad),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, nc, gh, gw), lambda i, j: (i, 0, 0, 0),
@@ -131,17 +151,10 @@ def _fused_parts(grid_logits, labels, weights, out_hw, tile_h=64,
             pl.BlockSpec((1, tile_h, w), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, gh, gw), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(grid_cm, r, c, labels, weights)
-    return num, den, grad
+    return outs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -152,7 +165,10 @@ def fused_resize_ce(grid_logits, labels, weights, out_hw, interpret=None):
     weights: (B, H, W) validity in {0, 1}; out_hw: static (H, W).
     Equals masked_mean(CE(resize_bilinear_ac(grid_logits, out_hw), labels)).
     """
-    num, den, _ = _fused_parts(grid_logits, labels, weights, out_hw)
+    # forward-only (never differentiated) path: skip the gradient matmuls
+    # and the (B,C,gh,gw) output entirely
+    num, den = _fused_parts(grid_logits, labels, weights, out_hw,
+                            interpret=interpret, want_grad=False)
     return jnp.sum(num) / jnp.maximum(jnp.sum(den), 1.0)
 
 

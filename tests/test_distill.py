@@ -199,3 +199,31 @@ def test_class_mask_matches_subset_trace():
     # weights agree: pixels outside the subset are invalid in both
     np.testing.assert_array_equal(np.asarray(aux_m["weights"]),
                                   np.asarray(aux_s["weights"]))
+
+
+def test_selective_loss_nan_convention():
+    """graph_utils.py:410-418 parity: tf.reduce_mean over an EMPTY
+    boolean_mask is NaN, so a selected class with no label AND no
+    prediction pixels makes the selective sum NaN; when every class has
+    pixels, each term equals the per-class masked mean CE."""
+    from ams_tpu.distill.loss import selective_loss
+
+    # logits always prefer class 0; labels all 0 -> class 1 has no
+    # label==1 pixel and no pred==1 pixel -> its term is mean(empty)=NaN
+    logits = jnp.tile(jnp.asarray([[5.0, -5.0]], jnp.float32), (8, 1))
+    labels = jnp.zeros((8,), jnp.int32)
+    weights = jnp.ones((8,), jnp.float32)
+    assert not np.isfinite(float(selective_loss(
+        logits, labels, weights, 2)))
+
+    # both classes present: finite, equals the hand-computed sum
+    labels2 = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32)
+    got = float(selective_loss(logits, labels2, weights, 2))
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -np.asarray(logp)[np.arange(8), np.asarray(labels2)]
+    preds = np.zeros(8, int)  # argmax always class 0
+    expect = 0.0
+    for i in range(2):
+        sel = (np.asarray(labels2) == i) | (preds == i)
+        expect += ce[sel].mean()
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
