@@ -154,6 +154,11 @@ def student_forward_folded(folded: Params, frames, class_indices=None, *,
     """
     cd = compute_dtype
     b, h, w, _ = frames.shape
+    # preprocess deliberately stays f32 even on the bf16 fast path: a bf16
+    # preprocess was measured perf-NEUTRAL (XLA fuses pad+normalize into
+    # the stem conv's operand, so the f32 tensor never round-trips HBM —
+    # PERFORMANCE.md "bf16 preprocess"), and f32 here keeps the folded
+    # precise path bit-comparable with the unfolded parity graph
     x = preprocess(frames)
 
     def conv(prefix, x, stride=1, rate=1, act=None):

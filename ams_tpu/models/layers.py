@@ -93,6 +93,13 @@ def conv2d_stride2_s2d(x, w, *, compute_dtype=None, precision=None):
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     b, h, wdt, c = x.shape
+    # the top/left pad of 1 below IS TF-SAME only for odd sizes (even
+    # inputs pad 0 on top/left) — enforce the docstring's precondition
+    # instead of silently sampling every tap one row/col off
+    if h % 2 == 0 or wdt % 2 == 0:
+        raise ValueError(
+            "conv2d_stride2_s2d requires odd H, W (the +1-padded DeepLab "
+            "input); got %dx%d, whose TF-SAME padding differs" % (h, wdt))
     oh, ow = (h + 1) // 2, (wdt + 1) // 2
     # SAME for odd input, k=3, s=2 pads 1 on each side; pad further so the
     # space-to-depth grid is even (extra rows/cols are never read by valid

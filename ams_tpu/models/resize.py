@@ -123,7 +123,10 @@ def resize_nearest_ac(x, out_hw, align_corners: bool = True):
     def nn_idx(in_size, out_size):
         if align_corners:
             src = np.arange(out_size, dtype=np.float64) * _ac_scale(in_size, out_size)
-            idx = np.rint(src).astype(np.int32)
+            # TF rounds with C roundf = half-AWAY-from-zero; np.rint is
+            # half-to-even, which picks a different pixel whenever src
+            # lands exactly on .5 (e.g. 3 -> 5: src 0.5 must map to 1)
+            idx = np.floor(src + 0.5).astype(np.int32)
         else:
             idx = np.floor(
                 np.arange(out_size, dtype=np.float64) * in_size / out_size

@@ -83,6 +83,15 @@ def merge_restore(params: dict, restored: Mapping[str, np.ndarray]) -> dict:
             "checkpoint matches none of the model's %d variables "
             "(checkpoint keys look like %s) — wrong checkpoint?"
             % (len(out), sample))
+    if restored and matched < len(out):
+        # every call site restores a FULL snapshot; a partial overlay
+        # (e.g. scope-name drift for a subset of layers) leaves the rest
+        # at random init — plausible-looking garbage with no signal
+        restored_keys = {strip_suffix(k) for k in restored}
+        missing = sorted(k for k in out if k not in restored_keys)
+        print("WARNING: checkpoint covers %d/%d model variables; %d keep "
+              "their initialization (e.g. %s)"
+              % (matched, len(out), len(missing), missing[:3]), flush=True)
     return out
 
 

@@ -44,6 +44,14 @@ def confusion_matrix(labels, predictions, num_classes, weights=None):
                              labels.shape).reshape(-1)
     labels = labels.reshape(-1)
     predictions = predictions.reshape(-1)
+    # f32 accumulation is integer-exact only below 2^24 per cell; a bigger
+    # single call would silently drift from the reference's float64
+    # total_cm (tf.metrics.mean_iou) — fail loudly, callers chunk+sum.
+    if labels.size > (1 << 24):
+        raise ValueError(
+            "confusion_matrix over %d pixels exceeds f32's exact integer "
+            "range (2^24) per cell; chunk the call and sum the partial "
+            "matrices in float64" % labels.size)
     # One-hot contraction instead of scatter-add: TPU scatters serialize,
     # while (K x N) @ (N x K) rides the MXU (K=19 -> ~100 MFLOP per frame).
     lab_oh = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32) * w[:, None]
@@ -63,10 +71,12 @@ def iou_from_confusion(cm):
 def prob_confmat(student_labels, teacher_probs, num_classes):
     """Probability-weighted ("soft") confusion matrix (graph_utils.py:265-285).
 
-    Row i accumulates the teacher's full probability vectors over pixels the
-    student labelled i.  Returns the (num_classes, num_classes) matrix for
-    one batch; accumulate across batches by summing, and derive soft mIoU
-    with ``soft_miou``.
+    COLUMN i accumulates the teacher's full probability vectors over pixels
+    the student labelled i (mat[p, i] — see the einsum below; soft_miou is
+    transpose-invariant, but row-based consumers must not assume
+    calculate_miou's rows-are-ground-truth layout).  Returns the
+    (num_classes, num_classes) matrix for one batch; accumulate across
+    batches by summing, and derive soft mIoU with ``soft_miou``.
     """
     labels = jnp.asarray(student_labels).reshape(-1).astype(jnp.int32)
     probs = jnp.asarray(teacher_probs, jnp.float32)

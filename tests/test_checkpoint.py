@@ -86,3 +86,17 @@ def test_merge_restore_rejects_zero_overlap():
     # empty restore dicts stay a no-op (fresh runs restore nothing)
     out = ckpt.merge_restore(base, {})
     assert out.keys() == base.keys()
+
+
+def test_merge_restore_warns_on_partial_coverage(capsys):
+    """A checkpoint that covers only SOME model variables leaves the rest
+    at init — that must be loud (scope-name drift produces plausible
+    garbage), while full coverage stays silent."""
+    base = {"a/w": np.zeros((2,)), "b/w": np.zeros((2,))}
+    out = ckpt.merge_restore(base, {"a/w": np.ones((2,))})
+    assert out["a/w"].sum() == 2 and out["b/w"].sum() == 0
+    err = capsys.readouterr().out
+    assert "1/2" in err and "b/w" in err
+
+    ckpt.merge_restore(base, {"a/w": np.ones((2,)), "b/w": np.ones((2,))})
+    assert "WARNING" not in capsys.readouterr().out

@@ -2,6 +2,7 @@
 utils/utils.py:80-126 is the golden behaviour)."""
 
 import numpy as np
+import pytest
 
 from ams_tpu.utils.metrics import (
     calculate_miou,
@@ -62,3 +63,13 @@ def test_string_class_iou_renders():
     w = np.zeros((19, 1)); w[0] = 1; w[13] = 1
     s2 = string_class_iou([0.5, 0.25], class_weights=w)
     assert "road" in s2 and "car" in s2 and "sky" not in s2
+
+
+def test_confusion_matrix_rejects_f32_inexact_sizes():
+    """Counts accumulate in f32 (exact integers only below 2^24 per cell):
+    a single call big enough to overflow that range must fail loudly
+    instead of silently drifting from the reference's float64 total_cm."""
+    n = (1 << 24) + 8
+    labels = np.zeros(n, np.int8)
+    with pytest.raises(ValueError, match="2\\^24"):
+        confusion_matrix(labels, labels, 2)

@@ -90,3 +90,20 @@ def test_matmul_resize_loss_and_grad_match():
     k = "logits/semantic/weights"
     np.testing.assert_allclose(np.asarray(gg[k]), np.asarray(gm[k]),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_resize_nearest_ac_rounds_half_away_from_zero():
+    """TF's align_corners nearest resize rounds src with C roundf
+    (half-AWAY-from-zero): 3 -> 5 has src [0, .5, 1, 1.5, 2] and must
+    select indices [0, 1, 1, 2, 2] (np.rint's half-to-even picks 0 at .5)."""
+    from ams_tpu.models.resize import resize_nearest_ac
+
+    x = jnp.asarray(np.arange(3, dtype=np.float32).reshape(1, 1, 3, 1))
+    out = resize_nearest_ac(x, (1, 5))
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(-1), [0, 1, 1, 2, 2])
+    # and on the row axis
+    xr = jnp.asarray(np.arange(3, dtype=np.float32).reshape(1, 3, 1, 1))
+    np.testing.assert_array_equal(
+        np.asarray(resize_nearest_ac(xr, (5, 1))).reshape(-1),
+        [0, 1, 1, 2, 2])

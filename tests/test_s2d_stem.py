@@ -38,3 +38,17 @@ def test_fast_path_unchanged_predictions():
     fast = student_predict_fast(params, frames, ci)
     agree = (np.asarray(precise) == np.asarray(fast)).mean()
     assert agree > 0.9, agree
+
+
+def test_s2d_conv_rejects_even_sizes():
+    """Even H or W has a DIFFERENT TF-SAME padding (0 on top/left): the
+    space-to-depth restructuring would silently sample every tap one
+    row/col off, so it must refuse instead."""
+    import pytest
+
+    from ams_tpu.models import layers
+
+    x = jnp.zeros((1, 8, 9, 3))
+    w = jnp.zeros((3, 3, 3, 4))
+    with pytest.raises(ValueError, match="odd"):
+        layers.conv2d_stride2_s2d(x, w)
