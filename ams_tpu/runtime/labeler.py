@@ -33,21 +33,20 @@ except Exception:  # pragma: no cover
 
 
 def _load_teacher_params(teacher_checkpoint: Optional[str], seed: int):
-    """Teacher params from a checkpoint, or seeded synthetic — NEVER
-    silently: a typo'd path would label/distill against random-teacher
-    noise, so the fallback always announces itself."""
+    """Teacher params from a checkpoint, or seeded synthetic.
+
+    A GIVEN-but-missing path raises: serve.py builds the labeler lazily on
+    the first client batch, so a swallowed typo'd path would mean every
+    session labels and distills against random-teacher noise for the whole
+    deployment (same policy as student checkpoints, network.py — synthetic
+    is opt-in by OMITTING the flag, never a fallback for a named path)."""
     if teacher_checkpoint:
-        try:
-            loaded = ckpt.load_any(teacher_checkpoint)
-            loaded = {k.removeprefix("teacher/"): v
-                      for k, v in loaded.items()}
-            base = init_teacher_params(jax.random.PRNGKey(seed))
-            return {k: jnp.asarray(v)
-                    for k, v in ckpt.merge_restore(base, loaded).items()}
-        except FileNotFoundError:
-            print("WARNING: teacher checkpoint %r not found — labeling "
-                  "with a SEEDED SYNTHETIC teacher (tests/demos only)"
-                  % teacher_checkpoint, flush=True)
+        loaded = ckpt.load_any(teacher_checkpoint)  # missing path raises
+        loaded = {k.removeprefix("teacher/"): v
+                  for k, v in loaded.items()}
+        base = init_teacher_params(jax.random.PRNGKey(seed))
+        return {k: jnp.asarray(v)
+                for k, v in ckpt.merge_restore(base, loaded).items()}
     return init_teacher_params(jax.random.PRNGKey(seed))
 
 
@@ -77,8 +76,8 @@ def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
     The batched-teacher callable the live server consumes
     (runtime/live.py): applies the reference's +1 symmetric pad / [1:,1:]
     un-pad convention around a jitted Xception-65 DeepLab forward.  With
-    no checkpoint (or missing blobs) the teacher is seeded synthetic —
-    fine for tests/demos, garbage labels for real use.
+    NO checkpoint the teacher is seeded synthetic (fine for tests/demos,
+    garbage labels for real use); a named-but-missing path raises.
     """
     params = _load_teacher_params(teacher_checkpoint, seed)
     predict = _make_predict(compute_dtype)

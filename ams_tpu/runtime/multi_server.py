@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ams_tpu import configs as exp_configs
 from ams_tpu.data.buffers import FrameMemory
 from ams_tpu.distill.optimizer import adam_init
+from ams_tpu.distill.strategies import build_mask, mask_coverage
 from ams_tpu.distill.train_step import (
     DistillSpec,
     all_true_mask,
@@ -101,7 +102,6 @@ class MultiVideoServer:
             per_video = [init_student_params(jax.random.PRNGKey(seed + i),
                                              num_classes=self.num_classes)
                          for i in range(self.V)]
-        self._initial = per_video[0]
         self.params_V = stack_videos([
             {k: jnp.asarray(v) for k, v in p.items()} for p in per_video])
         # per-video pretrained snapshot for the restore-before-round
@@ -111,7 +111,28 @@ class MultiVideoServer:
                            for k, v in self.params_V.items()}
         self.opt_V = stack_videos(
             [adam_init(split_params(p)[0]) for p in per_video])
-        self.mask_V = stack_videos([all_true_mask(p) for p in per_video])
+        # fixed coord strategies (first/last/both/rand) carry their masks
+        # as data from construction, exactly like the single-video loop
+        # (network.py train_with_deque); auto selects on device at iter 0;
+        # full_model trains under all-true.  Without this, a non-auto
+        # coord strategy would silently train 100% of the parameters.
+        trainable_shapes = {k: tuple(np.shape(v)) for k, v in
+                            split_params(per_video[0])[0].items()}
+        per_video_masks = []
+        for i in range(self.V):
+            host_mask = build_mask(strategy, coord_frac, trainable_shapes,
+                                   rng=np.random.RandomState(seed + i))
+            if host_mask is None:
+                per_video_masks.append(all_true_mask(per_video[i]))
+            else:
+                per_video_masks.append({k: jnp.asarray(v)
+                                        for k, v in host_mask.items()})
+        if per_video_masks and host_mask is not None:
+            total, sel = mask_coverage(
+                {k: np.asarray(v) for k, v in per_video_masks[0].items()})
+            print("Using %s mode, Training %.3f%% of variables"
+                  % (strategy, 100 * sel / total))
+        self.mask_V = stack_videos(per_video_masks)
         self.memories: List[FrameMemory] = [
             FrameMemory(memory_capacity, height, height * 2)
             for _ in range(self.V)]
@@ -149,9 +170,19 @@ class MultiVideoServer:
         if not no_restore:
             self.restore_initial()
         bufs = [m.device_buffers() for m in self.memories]
+        # the joint round cannot skip one video (a single trace trains all
+        # V), so an empty memory must refuse loudly: sampling it would run
+        # every iteration on zero-padded frames with label 0 and ship the
+        # drifted model (the single-video server SKIPS empty-memory events,
+        # server.py; SemanticNetwork raises for the same state)
+        empty = [i for i, b in enumerate(bufs) if b[2] == 0]
+        if empty:
+            raise ValueError(
+                "train_round with empty frame memory for video indices %s "
+                "— ingest samples for every video before training" % empty)
         frames_V = jnp.asarray(np.stack([b[0] for b in bufs]))
         labels_V = jnp.asarray(np.stack([b[1] for b in bufs]))
-        n_valid_V = jnp.asarray([max(b[2], 1) for b in bufs], jnp.int32)
+        n_valid_V = jnp.asarray([b[2] for b in bufs], jnp.int32)
         self._rng, sub = jax.random.split(self._rng)
         rngs_V = jax.random.split(sub, self.V)
         reselect = None if not keep_mask else False
@@ -184,11 +215,21 @@ class MultiVideoServer:
         return {k: np.asarray(v[video_idx])
                 for k, v in self.mask_V.items()}
 
-    def encode_delta(self, video_idx: int) -> bytes:
+    def encode_delta(self, video_idx: int, *, stats_annex: bool = True
+                     ) -> bytes:
         params = self.video_params(video_idx)
         masks = self.video_mask(video_idx) \
             if self.strategy.startswith("coord_desc_") else None
-        return encode_delta(params, masks, strategy=self.strategy)
+        # coord deltas ship the BN moving-stats annex like the other two
+        # delta producers (server.py, live.py): the stats advance every
+        # round but curr_mask covers only trainables, so without the annex
+        # a consumer runs new weights against stale normalizers
+        stats = None
+        if stats_annex and self.strategy != "full_model":
+            from ams_tpu.models.var_order import STATS_ORDER
+            stats = {k: params[k] for k in STATS_ORDER if k in params}
+        return encode_delta(params, masks, strategy=self.strategy,
+                            stats=stats)
 
     def deploy(self, video_idx: int, path: str, fold: bool = True) -> None:
         """Write one video's deployable client artifact (BN-folded by
@@ -218,9 +259,9 @@ class MultiVideoServer:
         resume_mod.pack_adam(arrays, self.opt_V)
         resume_mod.pack_params(arrays, self.mask_V, prefix="mask:")
         for i, m in enumerate(self.memories):
-            fbuf, lbuf, n = m.device_buffers()
-            arrays["mem%d:frames" % i] = np.asarray(fbuf[:n])
-            arrays["mem%d:labels" % i] = np.asarray(lbuf[:n])
+            fbuf, lbuf = m.stacked()  # live rows only, no padded capacity
+            arrays["mem%d:frames" % i] = fbuf
+            arrays["mem%d:labels" % i] = lbuf
         resume_mod.write_bundle(prefix + "_mv_resume.npz", arrays)
 
     def load_state(self, prefix: str) -> bool:

@@ -172,7 +172,7 @@ class SemanticNetwork:
             self.last_losses: Optional[np.ndarray] = None
 
         self.cross_miou_compat = cross_miou_compat
-        if cross_miou_compat or frozen is False:
+        if cross_miou_compat or not frozen:
             ci = jnp.asarray(self.class_indices_graph)
             n_sel = self.class_count
             total = self.TOTAL_CLASSES

@@ -55,7 +55,7 @@ def test_restore_initial_single_video(server):
     before = server.video_params(1)
     server.restore_initial(video_idx=0)
     after0 = server.video_params(0)
-    init = {k: np.asarray(v) for k, v in server._initial.items()}
+    init = {k: np.asarray(v[0]) for k, v in server._initial_V.items()}
     for k in ("logits/semantic/weights", "aspp0/weights"):
         np.testing.assert_array_equal(after0[k], init[k])
     # video 1 untouched
@@ -179,3 +179,69 @@ def test_multi_video_resume_roundtrip(tmp_path):
                                       np.asarray(srv.mask_V[k]))
     l2 = srv2.train_round(iters=1, keep_mask=True)
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_empty_memory_refuses_round():
+    """The joint round cannot skip one video, so an empty frame memory
+    must refuse loudly — sampling it would train every iteration on
+    zero-padded frames with label 0 and ship the drifted model."""
+    from ams_tpu.parallel.mesh import make_mesh
+
+    srv = MultiVideoServer(video_ids=[25, 17], height=32, batch_size=2,
+                           lr=1e-2, strategy="full_model",
+                           memory_capacity=4, mesh=make_mesh(2))
+    rng = np.random.RandomState(0)
+    srv.ingest(0, [rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)],
+               [rng.randint(0, 19, (32, 64)).astype(np.uint8)])
+    with pytest.raises(ValueError, match=r"\[1\]"):
+        srv.train_round(iters=1)
+
+
+def test_fixed_coord_strategy_builds_masks():
+    """Non-auto coord strategies must train their recipe's subset, not the
+    full model: the masks are built at construction (like the single-video
+    loop) and unmasked trainables stay bitwise unchanged by a round."""
+    from ams_tpu.parallel.mesh import make_mesh
+
+    srv = MultiVideoServer(video_ids=[25, 17], height=32, batch_size=2,
+                           lr=1e-2, strategy="coord_desc_last",
+                           coord_frac=0.1, memory_capacity=4,
+                           mesh=make_mesh(2))
+    total = sum(int(np.asarray(v[0]).size) for v in srv.mask_V.values())
+    sel = sum(int(np.asarray(v[0]).sum()) for v in srv.mask_V.values())
+    assert 0.05 < sel / total < 0.15, "mask does not match the 10% recipe"
+
+    rng = np.random.RandomState(0)
+    for v in range(2):
+        srv.ingest(v, [rng.randint(0, 256, (32, 64, 3)).astype(np.uint8)
+                       for _ in range(2)],
+                   [rng.randint(0, 19, (32, 64)).astype(np.uint8)
+                    for _ in range(2)])
+    before = {k: np.asarray(v) for k, v in srv.params_V.items()}
+    srv.train_round(iters=2)
+    changed_unmasked = 0
+    for k, m in srv.mask_V.items():
+        after = np.asarray(srv.params_V[k])
+        um = ~np.asarray(m, bool)
+        changed_unmasked += int(
+            (before[k][um] != after[um]).sum())
+    assert changed_unmasked == 0, "unmasked coords moved"
+
+
+def test_coord_delta_ships_stats_annex(server):
+    """Coord deltas append the BN moving-stats annex like the other delta
+    producers: without it a consumer runs new weights against stale
+    normalizers (stream/codec.py STATS_MAGIC)."""
+    server.train_round(iters=1)
+    blob = server.encode_delta(0)
+    params0 = server.video_params(0)
+    shapes = {k: v.shape for k, v in params0.items()}
+    masks, values = decode_delta(blob, shapes, strategy="coord_desc_auto")
+    stat = "MobilenetV2/Conv/BatchNorm/moving_mean"
+    assert stat in masks and masks[stat].all(), "stats annex missing"
+    np.testing.assert_array_equal(
+        values[stat], params0[stat].astype(np.float16).astype(np.float32))
+    # and opting out restores the reference wire (no annex)
+    masks2, _ = decode_delta(server.encode_delta(0, stats_annex=False),
+                             shapes, strategy="coord_desc_auto")
+    assert stat not in masks2
