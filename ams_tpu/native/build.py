@@ -17,11 +17,21 @@ OUT = os.path.join(HERE, "libams_codec.so")
 
 
 def build(verbose: bool = True) -> str:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", SRC, "-o", OUT,
+    # compile to a per-process temp name and rename into place: os.rename
+    # is atomic, so a concurrent first import either sees the complete old
+    # library or the complete new one — never a partially written file
+    # (two racing g++ -o OUT invocations can make dlopen load garbage)
+    tmp = OUT + ".tmp.%d" % os.getpid()
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", SRC, "-o", tmp,
            "-lz"]
     if verbose:
         print("+", " ".join(cmd))
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True)
+        os.rename(tmp, OUT)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return OUT
 
 

@@ -102,12 +102,16 @@ long ams_gzip9(const uint8_t* in, long n, uint8_t* out, long out_cap) {
 //   mask_bools: concatenated per-var boolean masks (1 byte per element)
 //   values:     concatenated per-var float32 parameter values (same layout)
 //   var_sizes:  element count per var, n_vars entries
+//   tail:       raw bytes appended inside the same gzip stream after the
+//               values section (the BN stats annex, stream/codec.py
+//               STATS_MAGIC); tail_len 0 = no annex
 // Layout matches run.py:316-333: all packed bitmasks first (byte-aligned per
 // var, big-endian bit order like np.packbits), then all masked fp16 values.
 // Returns compressed byte count, or -1 on error/overflow.
-long ams_encode_delta(const uint8_t* mask_bools, const float* values,
-                      const long* var_sizes, int n_vars,
-                      uint8_t* out, long out_cap) {
+long ams_encode_delta2(const uint8_t* mask_bools, const float* values,
+                       const long* var_sizes, int n_vars,
+                       const uint8_t* tail, long tail_len,
+                       uint8_t* out, long out_cap) {
     GzWriter w(out, out_cap);
     if (w.error) return -1;
 
@@ -140,9 +144,22 @@ long ams_encode_delta(const uint8_t* mask_bools, const float* values,
         if (w.error) return -1;
         off += n;
     }
+    if (tail_len > 0) {
+        w.push(tail, (size_t)tail_len);
+        if (w.error) return -1;
+    }
     // finalize with empty input
     w.push(nullptr, 0, true);
     return w.error ? -1 : w.written;
+}
+
+// Pre-annex entry point, kept so a stale caller against a rebuilt library
+// still links; equivalent to ams_encode_delta2 with an empty tail.
+long ams_encode_delta(const uint8_t* mask_bools, const float* values,
+                      const long* var_sizes, int n_vars,
+                      uint8_t* out, long out_cap) {
+    return ams_encode_delta2(mask_bools, values, var_sizes, n_vars,
+                             nullptr, 0, out, out_cap);
 }
 
 }  // extern "C"

@@ -53,6 +53,21 @@ STATS_MAGIC = b"AMSB"
 _warned_native_fallback = False
 
 
+def _warn_native_fallback(e: Exception) -> None:
+    """Correctness-preserving fallback (the Python path is the oracle the
+    native codec is tested against), but never a silent one: losing the
+    native encoder costs real encode throughput, so say so once per
+    process."""
+    global _warned_native_fallback
+    if not _warned_native_fallback:
+        _warned_native_fallback = True
+        import warnings
+        warnings.warn(
+            "native delta codec unavailable (%s: %s); falling back to the "
+            "slower pure-Python gzip path for all encodes in this process"
+            % (type(e).__name__, e))
+
+
 def delta_order(strategy: str, present=None) -> List[str]:
     """Canonical wire order for a strategy's delta payload (the ONLY place
     this rule lives): coord-descent strategies ship trainable vars in
@@ -174,36 +189,38 @@ def encode_delta(params: Dict[str, np.ndarray],
     mask_list, value_list = [], []
     for name in order:
         v = np.asarray(params[name])
-        if masks is None:
-            m = np.ones(v.shape, bool)
-        else:
-            m = np.asarray(masks.get(name, np.ones(v.shape, bool)), bool)
+        m = None if masks is None else masks.get(name)
+        m = np.ones(v.shape, bool) if m is None else np.asarray(m, bool)
+        if m.shape != v.shape:
+            raise ValueError("mask/param shape mismatch for %s: %s vs %s"
+                             % (name, m.shape, v.shape))
         mask_list.append(m)
         value_list.append(v)
-    raw = pack_payload(mask_list, value_list, wire_dtype=wire_dtype)
-    if stats is not None:
-        if strategy == "full_model":
-            raise ValueError(
-                "full_model payloads already carry the moving statistics "
-                "(SAVEABLE_ORDER); the stats annex is for coord strategies")
-        raw += pack_stats_annex(stats)
+    if stats is not None and strategy == "full_model":
+        raise ValueError(
+            "full_model payloads already carry the moving statistics "
+            "(SAVEABLE_ORDER); the stats annex is for coord strategies")
+    # annex integrity errors (non-finite stats, fp16 overflow) must raise
+    # regardless of which encoder runs — pack it before the native guard
+    tail = b"" if stats is None else pack_stats_annex(stats)
+    if use_native and wire_dtype == "float16":
+        # single-pass native path: bit-packing, fp16 conversion, the annex
+        # append and deflate happen in one C++ traversal (no intermediate
+        # packed/masked arrays); the Python branch below is the oracle it
+        # is gated against (test_codec.py)
+        try:
+            from ams_tpu.native import codec as native_codec
+            return native_codec.encode_delta_native(mask_list, value_list,
+                                                    tail=tail)
+        except Exception as e:
+            _warn_native_fallback(e)
+    raw = pack_payload(mask_list, value_list, wire_dtype=wire_dtype) + tail
     if use_native:
         try:
             from ams_tpu.native import codec as native_codec
             return native_codec.gzip9(raw)
         except Exception as e:
-            # correctness-preserving fallback (the Python path is the
-            # oracle the native codec is tested against), but never a
-            # silent one: losing the native encoder costs real encode
-            # throughput, so say so once per process
-            global _warned_native_fallback
-            if not _warned_native_fallback:
-                _warned_native_fallback = True
-                import warnings
-                warnings.warn(
-                    "native delta codec unavailable (%s: %s); falling back "
-                    "to the slower pure-Python gzip path for all encodes "
-                    "in this process" % (type(e).__name__, e))
+            _warn_native_fallback(e)
     buf = io.BytesIO()
     # mtime=0 keeps payloads deterministic (gzip -9 parity is about size,
     # not the header timestamp).

@@ -52,7 +52,10 @@ def _ffmpeg_binary():
                 "AMS_FFMPEG=%r is neither an existing file nor on PATH — "
                 "refusing to silently fall back to the mp4v encoder"
                 % pinned)
-        return resolved
+        # absolutize: the encoder is spawned with cwd=<scratch dir>, so a
+        # relative pin that validated against THIS cwd would fail (or
+        # resolve to a different binary) at exec time
+        return os.path.abspath(resolved)
     return FFMPEG if FFMPEG and os.path.exists(FFMPEG) else None
 
 
@@ -74,7 +77,13 @@ def png_size_probe(frames_bgr: List[np.ndarray], tmp_dir: Optional[str] = None
     total_kb = 0.0
     for f in frames_bgr:
         ok, buf = cv2.imencode(".png", f)
-        assert ok
+        if not ok or buf is None or buf.size == 0:
+            # a real wire-integrity check, not a debug assert: under -O a
+            # failed encode would silently contribute ~0 bits to the
+            # uplink accounting
+            raise IOError("PNG encode failed for a %s %s frame"
+                          % (getattr(f, "shape", "?"),
+                             getattr(f, "dtype", "?")))
         total_kb += buf.size / 1024
     return total_kb * 8
 

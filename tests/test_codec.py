@@ -421,3 +421,34 @@ def test_any_single_byte_flip_raises_never_corrupts_silently():
             continue
         silent.append((pos, "decoded cleanly"))
     assert not silent, silent[:10]
+
+
+def test_native_single_pass_f64_single_rounding():
+    """The native single-pass encoder must honor the same one-rounding-step
+    rule as the oracle for f64 params (its C ABI is f32, so non-f32 inputs
+    pre-round to f16 and widen losslessly — NOT a f64->f32->f16 chain)."""
+    native = pytest.importorskip("ams_tpu.native.codec")
+    rng = np.random.RandomState(13)
+    vals = np.concatenate([
+        np.float64([1.0009765625 + 2 ** -13 + 2 ** -30]),  # f16 tie + eps
+        rng.randn(511) * rng.choice([1e-3, 1.0, 1e3], 511)]).astype(
+            np.float64)
+    mask = np.ones(vals.shape, bool)
+    blob = native.encode_delta_native([mask], [vals])
+    raw = gzip.decompress(blob)
+    assert raw == pack_payload([mask], [vals])
+
+
+def test_encode_delta_native_python_agree_after_decompress():
+    """Full public-path agreement: encode_delta with and without the native
+    codec yields identical decompressed payloads (masked coord payload,
+    f16 wire), so the single-pass C++ path is byte-gated by the oracle."""
+    shapes = {TRAINABLE_ORDER[0]: (4, 5), TRAINABLE_ORDER[1]: (7,)}
+    rng = np.random.RandomState(3)
+    params = {k: rng.randn(*s).astype(np.float32) for k, s in shapes.items()}
+    masks = {k: rng.rand(*s) < 0.4 for k, s in shapes.items()}
+    py = encode_delta(params, masks, strategy="coord_desc_auto",
+                      use_native=False)
+    nat = encode_delta(params, masks, strategy="coord_desc_auto",
+                       use_native=True)
+    assert gzip.decompress(py) == gzip.decompress(nat)
