@@ -228,14 +228,36 @@ def main(argv=None):
     p.add_argument("--workdir", default="validate_out")
     p.add_argument("--stages",
                    default="inventory,convert,bitmatch,simple")
+    p.add_argument("--platform", default="auto",
+                   help="JAX platform: 'auto' = cpu when only the host-side "
+                        "stages (inventory/convert) are requested — those "
+                        "must not require a healthy accelerator (a wedged "
+                        "TPU tunnel hangs device enumeration); otherwise "
+                        "the environment's JAX_PLATFORMS; or an explicit "
+                        "name (cpu/tpu/...)")
     a = p.parse_args(argv)
     os.makedirs(a.workdir, exist_ok=True)
+
+    requested = [s.strip() for s in a.stages.split(",") if s.strip()]
+    # the stages that will actually execute (bitmatch/simple skip without
+    # --video/--gt_dir) decide whether an accelerator is needed at all
+    effective = [n for n in requested
+                 if not (n in ("bitmatch", "simple") and not a.video)
+                 and not (n == "simple" and not a.gt_dir)]
+    plat = a.platform
+    if plat == "auto":
+        plat = "cpu" if set(effective) <= {"inventory", "convert"} else None
+    if plat:
+        # before any backend initialization (module import only sets config)
+        os.environ["JAX_PLATFORMS"] = plat
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     stages = {"inventory": stage_inventory, "convert": stage_convert,
               "bitmatch": stage_bitmatch, "simple": stage_simple}
     failed = []
-    for name in a.stages.split(","):
-        name = name.strip()
+    for name in requested:
         if name in ("bitmatch", "simple") and not a.video:
             print("[%s] skipped: --video not given" % name)
             continue
