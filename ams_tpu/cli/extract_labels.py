@@ -23,7 +23,10 @@ def main(argv=None):
                    help="Video used in the test")
     p.add_argument("--height", type=int, default=None,
                    help="height to extract labels")
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=32,
+                   help="frames per jitted teacher call (measured knee of "
+                        "the batch-saturation sweep: 1578 f/s at b32 vs "
+                        "1021 at b8 @257x513 on v5e-1; b64 adds only 3%%)")
     p.add_argument("--max_frames", type=int, default=None)
     args = p.parse_args(argv)
     print("Extracting labels...")

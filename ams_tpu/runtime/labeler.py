@@ -95,7 +95,7 @@ def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
 
 def extract_labels(input_video: str, dump_path: str,
                    teacher_checkpoint: Optional[str] = None,
-                   height: Optional[int] = None, batch: int = 8,
+                   height: Optional[int] = None, batch: int = 32,
                    max_frames: Optional[int] = None,
                    compute_dtype: str = "bfloat16") -> int:
     """Run the teacher over the clip and dump per-frame label artifacts.
