@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """North-star benchmarks: one JSON line per metric.
 
-Covers all three BASELINE.json axes so a regression in any of them is
+Covers every headline axis so a regression in any of them is
 driver-visible (VERDICT r2 weak #7 — the training path used to be
 invisible to the bench loop):
 
@@ -16,6 +16,10 @@ invisible to the bench loop):
 3. parity_label_frames_per_sec_512 — the f32-parity label path: folded
    f32/HIGHEST forward + fused resize/argmax — TF1-bit-parity numerics at
    serving speed.  Baseline: >= 1000 frames/s/chip (vs_baseline = fps/1000).
+4. teacher_label_frames_per_sec — batched Xception-65 label extraction
+   (BASELINE.json config #2) at the measured saturation batch (32
+   @257x513, tools/tpu_measure_r5.py; the reference labels one frame per
+   sess.run).  Same >= 1000 frames/s/chip scale (vs_baseline = fps/1000).
 
 Measurement discipline (PERFORMANCE.md): scalar-reducing outputs +
 np.asarray readback (block_until_ready is unreliable over the axon
@@ -162,6 +166,39 @@ def bench_round(trials=3):
     }), flush=True)
 
 
+def bench_teacher_labeling():
+    """Metric 4: batched teacher label extraction (labeler default path).
+
+    Mirrors the tpu_measure_r5 sweep program exactly (same jaxpr) so the
+    persistent compile cache populated by the sweep is hit."""
+    import jax
+    import jax.numpy as jnp
+
+    from ams_tpu.models.xception_deeplab import (
+        init_teacher_params,
+        teacher_predict_fast,
+    )
+
+    params = init_teacher_params(jax.random.PRNGKey(0))
+    batch, h, w = 32, 257, 513  # extract_labels default (height 256 + pad)
+    frames = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (batch, h, w, 3)),
+        jnp.float32)
+
+    @jax.jit
+    def predict_sum(p, f):
+        return teacher_predict_fast(p, f).sum()
+
+    fps = _measure(predict_sum, params, frames, batch, iters=10)
+    print(json.dumps({
+        "metric": "teacher_label_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 1000.0, 4),
+        "path": "xception65_bf16_b32+fused_resize_argmax",
+    }), flush=True)
+
+
 def bench_parity_labeling():
     """Metric 3: f32-parity label path throughput."""
     import jax
@@ -227,7 +264,8 @@ def main():
     # the driver's BENCH_r{N}.json parses the LAST JSON line as the
     # round-over-round headline series (student f/s in r01/r02) — keep
     # bench_client last so the series stays comparable across rounds
-    for fn in (bench_round, bench_parity_labeling, bench_client):
+    for fn in (bench_round, bench_parity_labeling, bench_teacher_labeling,
+               bench_client):
         print("bench: running %s" % fn.__name__, file=sys.stderr)
         sys.stderr.flush()
         try:
