@@ -69,25 +69,55 @@ def _make_predict(compute_dtype: str):
     return predict
 
 
+def _predict_fixed_batch(predict, params, arr: np.ndarray,
+                         batch: int) -> np.ndarray:
+    """Run ``predict`` over ``arr`` (N,H,W,3) in fixed-size chunks.
+
+    Every call sees exactly ONE program shape: each new batch shape is a
+    fresh XLA program — a multi-minute remote compile on the tunneled
+    TPU — and live uplink draws vary in size with the ASR send rate
+    (runtime/live.py), so per-draw shapes would stall the live loop on
+    compiles.  The tail chunk is padded by repeating its last frame and
+    the padded rows sliced off (a few percent wasted compute at the
+    measured 32-frame saturation batch vs minutes of compile).
+    """
+    n = arr.shape[0]
+    outs = []
+    for s in range(0, n, batch):
+        chunk = arr[s:s + batch]
+        pad = batch - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+        preds = np.asarray(predict(params, jnp.asarray(chunk)))
+        outs.append(preds[:batch - pad] if pad else preds)
+    if not outs:
+        return np.empty((0, arr.shape[1], arr.shape[2]), np.uint8)
+    return np.concatenate(outs)
+
+
 def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
-                         compute_dtype: str = "bfloat16", seed: int = 0):
+                         compute_dtype: str = "bfloat16", seed: int = 0,
+                         batch: int = 32):
     """-> labeler(frames uint8 (N,H,W,3) RGB) -> labels uint8 (N,H,W).
 
     The batched-teacher callable the live server consumes
     (runtime/live.py): applies the reference's +1 symmetric pad / [1:,1:]
-    un-pad convention around a jitted Xception-65 DeepLab forward.  With
-    NO checkpoint the teacher is seeded synthetic (fine for tests/demos,
-    garbage labels for real use); a named-but-missing path raises.
+    un-pad convention around a jitted Xception-65 DeepLab forward, run in
+    fixed ``batch``-size chunks so variable-size uplink draws share one
+    compiled program (``_predict_fixed_batch``).  With NO checkpoint the
+    teacher is seeded synthetic (fine for tests/demos, garbage labels for
+    real use); a named-but-missing path raises.
     """
     params = _load_teacher_params(teacher_checkpoint, seed)
     predict = _make_predict(compute_dtype)
 
     def label(frames: np.ndarray) -> np.ndarray:
-        arr = np.pad(np.asarray(frames, np.uint8),
-                     ((0, 0), (1, 0), (1, 0), (0, 0)), mode="symmetric")
         # ship uint8: the model casts on device (xception_deeplab
         # teacher_logits), and f32 staging would 4x the host->device bytes
-        preds = np.asarray(predict(params, jnp.asarray(arr)))
+        arr = np.pad(np.asarray(frames, np.uint8),
+                     ((0, 0), (1, 0), (1, 0), (0, 0)), mode="symmetric")
+        preds = _predict_fixed_batch(predict, params, arr, batch)
         return preds[:, 1:, 1:].astype(np.uint8)
 
     return label
@@ -123,7 +153,9 @@ def extract_labels(input_video: str, dump_path: str,
 
     def flush(frames_list, start_index):
         arr = np.stack(frames_list)  # (b, H+1, W+1, 3) padded RGB
-        preds = np.asarray(predict(params, jnp.asarray(arr)))
+        # fixed-batch chunking: the tail flush pads to the same program
+        # shape as the full batches instead of compiling a remainder shape
+        preds = _predict_fixed_batch(predict, params, arr, batch)
         for j in range(arr.shape[0]):
             out = preds[j, 1:, 1:].astype(np.uint8)  # un-pad
             idx = start_index + j

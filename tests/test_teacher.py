@@ -52,6 +52,50 @@ def test_teacher_param_names_follow_slim_convention(teacher_params):
         assert k in keys, k
 
 
+def test_predict_fixed_batch_chunking():
+    """Every device call shares ONE program shape; tail padding is sliced
+    off; results match the unchunked computation (runtime/labeler.py —
+    per-draw shapes would be a remote compile per uplink draw size)."""
+    from ams_tpu.runtime.labeler import _predict_fixed_batch
+
+    shapes = []
+
+    def predict(params, arr):
+        arr = np.asarray(arr)
+        shapes.append(arr.shape)
+        return arr.sum(axis=-1)
+
+    arr = np.random.RandomState(0).randint(
+        0, 256, (7, 5, 9, 3)).astype(np.uint8)
+    out = _predict_fixed_batch(predict, None, arr, batch=4)
+    assert out.shape == (7, 5, 9)
+    assert shapes == [(4, 5, 9, 3)] * 2  # one fixed shape, tail padded
+    np.testing.assert_array_equal(out, arr.sum(axis=-1))
+
+    empty = _predict_fixed_batch(predict, None,
+                                 np.empty((0, 5, 9, 3), np.uint8), batch=4)
+    assert empty.shape == (0, 5, 9)
+    assert len(shapes) == 2  # no device call for an empty draw
+
+
+def test_labeler_batch_size_invariance():
+    """Labels are independent of the chunking batch and of how a stream
+    of frames is split across calls (inference-mode BN: no cross-batch
+    coupling), so the fixed-batch live labeler is a pure perf choice."""
+    from ams_tpu.runtime.labeler import make_teacher_labeler
+
+    frames = np.random.RandomState(1).randint(
+        0, 256, (6, 32, 64, 3)).astype(np.uint8)
+    lab4 = make_teacher_labeler(compute_dtype="float32", batch=4)
+    lab8 = make_teacher_labeler(compute_dtype="float32", batch=8)
+    out4 = lab4(frames)
+    out8 = lab8(frames)
+    assert out4.shape == (6, 32, 64)
+    np.testing.assert_array_equal(out4, out8)
+    split = np.concatenate([lab4(frames[:2]), lab4(frames[2:])])
+    np.testing.assert_array_equal(split, out4)
+
+
 def test_labeler_end_to_end(tmp_path):
     from ams_tpu.data.video import write_synthetic_clip
     from ams_tpu.runtime.labeler import extract_labels
