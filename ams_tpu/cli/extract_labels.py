@@ -23,10 +23,12 @@ def main(argv=None):
                    help="Video used in the test")
     p.add_argument("--height", type=int, default=None,
                    help="height to extract labels")
-    p.add_argument("--batch", type=int, default=32,
-                   help="frames per jitted teacher call (measured knee of "
-                        "the batch-saturation sweep: 1578 f/s at b32 vs "
-                        "1021 at b8 @257x513 on v5e-1; b64 adds only 3%%)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="frames per jitted teacher call; default scales "
+                        "with --height (32 at <=320 rows — the measured "
+                        "saturation knee, 1578 f/s @257x513 on v5e-1 — "
+                        "16 at <=640: full-res 513x1025 activations are "
+                        "~8x larger and b32 exceeds v5e-1 HBM)")
     p.add_argument("--max_frames", type=int, default=None)
     args = p.parse_args(argv)
     print("Extracting labels...")

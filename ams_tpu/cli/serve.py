@@ -31,6 +31,12 @@ def main(argv=None):
                         "omitted = seeded synthetic (demo only)")
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
+    p.add_argument("--label_batch", type=int, default=None,
+                   help="fixed frames-per-program for the teacher labeler; "
+                        "default auto-scales with the first batch's frame "
+                        "height (runtime/labeler.py auto_batch). Small "
+                        "steady uplink draws on a contended chip may want "
+                        "e.g. 8 — every draw pays the full program shape")
     p.add_argument("--max_clients", type=int, default=1,
                    help="edge streams served CONCURRENTLY (a semaphore, "
                         "not a lifetime quota — the daemon serves client "
@@ -68,7 +74,8 @@ def main(argv=None):
         with holder_lock:
             if "fn" not in holder:
                 holder["fn"] = make_teacher_labeler(
-                    a.teacher_checkpoint, compute_dtype=a.compute_dtype)
+                    a.teacher_checkpoint, compute_dtype=a.compute_dtype,
+                    batch=a.label_batch)
             fn = holder["fn"]
         return fn(frames)
 

@@ -32,6 +32,23 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
+def auto_batch(height: int) -> int:
+    """Measured batch-saturation knee for the teacher, by input height.
+
+    The r5 on-chip sweep (tools/tpu_measure_r2.py, PERFORMANCE.md) found
+    b32 saturates 257x513 (1578 f/s; b64 adds only 3%) but full-res
+    513x1025 activations are ~8x larger and were deliberately capped at
+    b16 (401 f/s) to stay inside v5e-1 HBM.  An unconditional default of
+    32 would OOM at the resolution real label extraction runs at, so the
+    default scales: <=320 rows -> 32, <=640 -> 16, beyond -> 8.
+    """
+    if height <= 320:
+        return 32
+    if height <= 640:
+        return 16
+    return 8
+
+
 def _load_teacher_params(teacher_checkpoint: Optional[str], seed: int):
     """Teacher params from a checkpoint, or seeded synthetic.
 
@@ -98,26 +115,31 @@ def _predict_fixed_batch(predict, params, arr: np.ndarray,
 
 def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
                          compute_dtype: str = "bfloat16", seed: int = 0,
-                         batch: int = 32):
+                         batch: Optional[int] = None):
     """-> labeler(frames uint8 (N,H,W,3) RGB) -> labels uint8 (N,H,W).
 
     The batched-teacher callable the live server consumes
     (runtime/live.py): applies the reference's +1 symmetric pad / [1:,1:]
     un-pad convention around a jitted Xception-65 DeepLab forward, run in
     fixed ``batch``-size chunks so variable-size uplink draws share one
-    compiled program (``_predict_fixed_batch``).  With NO checkpoint the
-    teacher is seeded synthetic (fine for tests/demos, garbage labels for
-    real use); a named-but-missing path raises.
+    compiled program (``_predict_fixed_batch``).  ``batch=None`` (default)
+    resolves from the FIRST call's frame height via ``auto_batch`` — the
+    measured saturation batch at small inputs OOMs at full-res.  With NO
+    checkpoint the teacher is seeded synthetic (fine for tests/demos,
+    garbage labels for real use); a named-but-missing path raises.
     """
     params = _load_teacher_params(teacher_checkpoint, seed)
     predict = _make_predict(compute_dtype)
+    resolved = {"batch": batch}
 
     def label(frames: np.ndarray) -> np.ndarray:
         # ship uint8: the model casts on device (xception_deeplab
         # teacher_logits), and f32 staging would 4x the host->device bytes
         arr = np.pad(np.asarray(frames, np.uint8),
                      ((0, 0), (1, 0), (1, 0), (0, 0)), mode="symmetric")
-        preds = _predict_fixed_batch(predict, params, arr, batch)
+        if resolved["batch"] is None:
+            resolved["batch"] = auto_batch(int(arr.shape[1]))
+        preds = _predict_fixed_batch(predict, params, arr, resolved["batch"])
         return preds[:, 1:, 1:].astype(np.uint8)
 
     return label
@@ -125,12 +147,14 @@ def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
 
 def extract_labels(input_video: str, dump_path: str,
                    teacher_checkpoint: Optional[str] = None,
-                   height: Optional[int] = None, batch: int = 32,
+                   height: Optional[int] = None, batch: Optional[int] = None,
                    max_frames: Optional[int] = None,
                    compute_dtype: str = "bfloat16") -> int:
     """Run the teacher over the clip and dump per-frame label artifacts.
 
-    Returns the number of frames processed.
+    ``batch=None`` scales with the extraction height (``auto_batch``):
+    the b32 saturation knee only fits HBM at small inputs.  Returns the
+    number of frames processed.
     """
     os.makedirs(dump_path, exist_ok=True)
     exp_num = exp_configs.video_exp_num(input_video)
@@ -175,6 +199,8 @@ def extract_labels(input_video: str, dump_path: str,
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         if height is not None:
             frame = cv2.resize(frame, (height * 2, height))
+        if batch is None:
+            batch = auto_batch(int(frame.shape[0]))
         frame = np.pad(frame, ((1, 0), (1, 0), (0, 0)), mode="symmetric")
         batch_frames.append(frame)
         if len(batch_frames) == batch:

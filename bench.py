@@ -167,10 +167,14 @@ def bench_round(trials=3):
 
 
 def bench_teacher_labeling():
-    """Metric 4: batched teacher label extraction (labeler default path).
+    """Metric 4: batched teacher label extraction (labeler sweep program).
 
     Mirrors the tpu_measure_r5 sweep program exactly (same jaxpr) so the
-    persistent compile cache populated by the sweep is hit."""
+    persistent compile cache populated by the sweep is hit.  NOTE: the
+    sweep (and so this metric) feeds f32 frames; the production labeler
+    (runtime/labeler.py) ships uint8 and casts on device — a slightly
+    different jaxpr whose delta is one elementwise cast, kept f32 here
+    deliberately for the cache hit."""
     import jax
     import jax.numpy as jnp
 
@@ -195,7 +199,8 @@ def bench_teacher_labeling():
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 1000.0, 4),
-        "path": "xception65_bf16_b32+fused_resize_argmax",
+        "path": "xception65_bf16_b32+fused_resize_argmax (f32-input sweep "
+                "program; production labeler ships uint8)",
     }), flush=True)
 
 

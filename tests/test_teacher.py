@@ -96,6 +96,27 @@ def test_labeler_batch_size_invariance():
     np.testing.assert_array_equal(split, out4)
 
 
+def test_labeler_auto_batch():
+    """Default batch scales with input height: the b32 saturation knee
+    only fits HBM at small inputs (ADVICE r3; PERFORMANCE.md sweep)."""
+    from ams_tpu.runtime.labeler import auto_batch, make_teacher_labeler
+
+    assert auto_batch(257) == 32   # extract_labels default height
+    assert auto_batch(320) == 32
+    assert auto_batch(513) == 16   # full-res Cityscapes: b32 would OOM
+    assert auto_batch(1025) == 8
+
+    # batch=None resolves lazily from the first call's frames and the
+    # resolved program shape sticks (one compiled program per labeler)
+    lab = make_teacher_labeler(compute_dtype="float32")
+    frames = np.random.RandomState(2).randint(
+        0, 256, (2, 32, 64, 3)).astype(np.uint8)
+    out = lab(frames)
+    assert out.shape == (2, 32, 64)
+    explicit = make_teacher_labeler(compute_dtype="float32", batch=32)
+    np.testing.assert_array_equal(out, explicit(frames))
+
+
 def test_labeler_end_to_end(tmp_path):
     from ams_tpu.data.video import write_synthetic_clip
     from ams_tpu.runtime.labeler import extract_labels
