@@ -63,17 +63,34 @@ def make_sharded_distill_round(spec: DistillSpec, mesh: Mesh,
     lbl_sh = NamedSharding(mesh, P(None, None, model_axis))
     repl = NamedSharding(mesh, P())
 
+    def _prepare(params, frames_buf, labels_buf):
+        return (jax.device_put(params, repl),
+                jax.device_put(frames_buf, buf_sh),
+                jax.device_put(labels_buf, lbl_sh))
+
     def round_fn(params, opt, frames_buf, labels_buf, n_valid, rng, lr,
                  mask, reselect=True, **kw):
         # **kw forwards the base round's optional class_mask / idx_seq
         # (per-subset narrowing, deterministic replay) — the sharded path
         # supports everything the single-device round does
-        frames_buf = jax.device_put(frames_buf, buf_sh)
-        labels_buf = jax.device_put(labels_buf, lbl_sh)
-        params = jax.device_put(params, repl)
+        params, frames_buf, labels_buf = _prepare(params, frames_buf,
+                                                  labels_buf)
         return base(params, opt, frames_buf, labels_buf, n_valid, rng, lr,
                     mask, reselect=reselect, **kw)
 
+    def lower(params, opt, frames_buf, labels_buf, n_valid, rng, lr,
+              mask, reselect=True, **kw):
+        # AOT hook (jit .lower passthrough after the device_puts): lets a
+        # multi-process caller compile first and barrier before the first
+        # cross-process collective — XLA's gloo context init has a
+        # hard-coded 30 s key-exchange timeout that compile skew on a
+        # contended host can exceed (tools/multihost_dryrun.py).
+        params, frames_buf, labels_buf = _prepare(params, frames_buf,
+                                                  labels_buf)
+        return base.lower(params, opt, frames_buf, labels_buf, n_valid,
+                          rng, lr, mask, reselect=reselect, **kw)
+
+    round_fn.lower = lower
     return round_fn
 
 
