@@ -82,6 +82,15 @@ class DistillSpec:
     # gather form's backward is full-resolution scatter-adds), TF-exact
     # gather for f32 parity rounds; or force "gather"/"matmul".
     loss_resize: str = "auto"
+    # BN normalization source inside the round.  True (default, the
+    # reference's training graph: every FusedBatchNormV3 is exported with
+    # is_training=True) normalizes with batch statistics and advances the
+    # moving averages every iteration.  False pins normalization to the
+    # moving statistics and freezes them — the chaos-free round used by the
+    # long-horizon parity gates (tools/make_round_fixture.py --bn_pin):
+    # batch-stat coupling is the amplifier that makes cross-implementation
+    # f32 trajectories diverge per-coordinate within ~4 Adam iterations.
+    bn_train: bool = True
 
     @property
     def cdtype(self):
@@ -168,8 +177,10 @@ def make_distill_round(spec: DistillSpec):
             merged = dict(pt)
             merged.update(bn_state)
             loss, _aux = distill_loss(
-                merged, frames, labels, ci, spec.num_classes, train=True,
-                compute_dtype=cdtype, stats_out=stats_cap,
+                merged, frames, labels, ci, spec.num_classes,
+                train=spec.bn_train,
+                compute_dtype=cdtype,
+                stats_out=stats_cap if spec.bn_train else None,
                 precision=spec.precision, fused=spec.fused_loss,
                 class_mask=class_mask, resize_via=spec.resize_via(cdtype))
             return loss, stats_cap
@@ -204,10 +215,15 @@ def make_distill_round(spec: DistillSpec):
             stepped, opt_state = adam_apply(params_t, grads, opt_state, lr)
             # Moving-average update runs every step for every BN regardless of
             # masks (the reference's update_bn control deps + the fact that
-            # the where-revert only covers trainable vars).
-            new_bn = {kk: layers.moving_average_update(
-                bn_state[kk], stats_cap[kk], n_elems=1, decay=layers.BN_DECAY,
-                bessel=False) for kk in bn_state}
+            # the where-revert only covers trainable vars).  The pinned-BN
+            # round (bn_train=False) freezes the stats entirely: the surgered
+            # reference graph drops its update_ops collection too.
+            if spec.bn_train:
+                new_bn = {kk: layers.moving_average_update(
+                    bn_state[kk], stats_cap[kk], n_elems=1,
+                    decay=layers.BN_DECAY, bessel=False) for kk in bn_state}
+            else:
+                new_bn = bn_state
             return loss, stepped, new_bn, opt_state
 
         def body(carry, it):

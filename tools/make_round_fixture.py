@@ -51,8 +51,25 @@ the reference's Dimension arithmetic; the drift-loss ``model.npy``
 (graph_utils.py:437) is synthesized from the seeded graph init since the
 mount ships no weight blobs.
 
+Chaos-free variant (``--bn_pin``): the decorrelation amplifier above is BN
+batch-stat coupling — a knife-edge sign flip in one coordinate perturbs the
+batch moments every other coordinate normalizes by.  ``--bn_pin`` removes it
+with .meta surgery: every FusedBatchNormV3 is flipped to
+``is_training=False`` with its mean/variance inputs rewired from the empty
+training-mode Consts to the ``moving_*/read`` nodes, and the ``update_ops``
+collection is cleared so ``create_student_v3``'s BN control deps
+(graph_utils.py:457,487,495) vanish and the moving statistics freeze.  With
+normalization pinned and the warm-slot protocol, the masked-Adam machinery
+is deterministic enough to gate per-coordinate parameter AND Adam-slot
+trajectories over 10+ iterations (VERDICT r3 weak #1) — the JAX side runs
+the same round with ``DistillSpec(bn_train=False)``.  The pinned fixture
+additionally records final params, final Adam slots (m, v, beta powers) and
+multi-horizon snapshots.
+
 Usage:
     python tools/make_round_fixture.py --height 64 --out tests/fixtures/round_parity_h64.npz
+    python tools/make_round_fixture.py --height 64 --iters 12 --bn_pin \
+        --out tests/fixtures/round_parity_pinned_h64.npz
 """
 
 from __future__ import annotations
@@ -133,6 +150,45 @@ def load_reference_graph_utils(tf1):
     return gu
 
 
+def surger_bn_pin(meta_in: str, meta_out: str) -> int:
+    """Rewrite a .meta with every FusedBatchNormV3 pinned to inference.
+
+    - ``is_training`` -> False; stat inputs 3/4 rewired from the exported
+      training graph's empty Consts to the sibling ``moving_mean/read`` /
+      ``moving_variance/read`` nodes (verified present for all 54 BNs).
+    - the ``update_ops`` collection (108 AssignMovingAvg ops) is cleared, so
+      the train ops built later by create_student_v3 carry no BN control
+      deps and the moving statistics stay bitwise-frozen.
+
+    The AssignMovingAvg subgraphs still exist but are never fetched nor
+    depended on — dead nodes.  Gradients are built AFTER import on the
+    surgered graph, so tf.gradients emits the is_training=False
+    FusedBatchNormGradV3 form.
+    """
+    from tensorflow.core.protobuf import meta_graph_pb2
+
+    mg = meta_graph_pb2.MetaGraphDef()
+    with open(meta_in, "rb") as f:
+        mg.ParseFromString(f.read())
+    n_bn = 0
+    for node in mg.graph_def.node:
+        if node.op != "FusedBatchNormV3":
+            continue
+        scope = node.name.rsplit("/", 1)[0]  # .../BatchNorm
+        node.attr["is_training"].b = False
+        node.input[3] = scope + "/moving_mean/read"
+        node.input[4] = scope + "/moving_variance/read"
+        n_bn += 1
+    if n_bn == 0:
+        raise RuntimeError("no FusedBatchNormV3 nodes found in %s" % meta_in)
+    if "update_ops" not in mg.collection_def:
+        raise RuntimeError("no update_ops collection to clear")
+    del mg.collection_def["update_ops"]
+    with open(meta_out, "wb") as f:
+        f.write(mg.SerializeToString())
+    return n_bn
+
+
 def tracked_names(all_names):
     """Model variables the JAX params dict carries: everything except
     emulation plumbing, the _patch twins, the masked-gradient _copy backups
@@ -157,6 +213,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--coord_frac", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bn_pin", action="store_true",
+                    help="chaos-free variant: pin every BN to its moving "
+                         "statistics and freeze them (meta surgery); "
+                         "records long-horizon param + Adam-slot snapshots")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -168,14 +228,20 @@ def main():
     gu = load_reference_graph_utils(tf1)
 
     tmp = tempfile.mkdtemp(prefix="ams_round_fixture_")
-    shutil.copy(META_SRC, os.path.join(tmp, "model.meta"))
+    meta_file = os.path.join(tmp, "model.meta")
+    if args.bn_pin:
+        n_bn = surger_bn_pin(META_SRC, meta_file)
+        print("bn_pin: pinned %d FusedBatchNormV3 nodes, update_ops cleared"
+              % n_bn)
+    else:
+        shutil.copy(META_SRC, meta_file)
     meta_dir = os.path.join(tmp, "model")
 
     # ---- phase 1: seeded init of the bare meta -> canonical initial params
     g1 = tf1.Graph()
     with g1.as_default():
         tf1.set_random_seed(args.seed)
-        tf1.train.import_meta_graph(META_SRC, clear_devices=True)
+        tf1.train.import_meta_graph(meta_file, clear_devices=True)
         init1 = tf1.global_variables_initializer()
         gvars = tf1.global_variables()
     with tf1.Session(graph=g1) as s1:
@@ -201,6 +267,7 @@ def main():
         "idx_seq2": idx_seq2.astype(np.int32),
         "lr": np.float32(args.lr), "iters": np.int32(args.iters),
         "coord_frac": np.float32(args.coord_frac),
+        "bn_pin": np.bool_(args.bn_pin),
     }
     for n in track:
         out["init:" + n[:-2]] = init_values[n]
@@ -219,6 +286,12 @@ def main():
                     assigns.append(tf1.assign(v, pl))
                     pls[pl] = init_values[v.name]
             track_tensors = [g.get_tensor_by_name(n) for n in track]
+            # Adam slots (m = <var>/Adam, v = <var>/Adam_1) + beta powers —
+            # recorded for the pinned fixture's slot-trajectory gates
+            slot_names = [v.name for v in tf1.global_variables()
+                          if v.name.endswith(("/Adam:0", "/Adam_1:0"))
+                          or "power" in v.name]
+            slot_tensors = [g.get_tensor_by_name(n) for n in slot_names]
             # restore_initial: params + BN moving stats back to the
             # checkpoint, Adam slots/beta-powers untouched (run.py:309-310;
             # the filter skips only Adam/Momentum, SemanticNetwork.py:154)
@@ -240,13 +313,17 @@ def main():
         def snapshot():
             return dict(zip(track, sess.run(track_tensors)))
 
+        def slot_snapshot():
+            return dict(zip(slot_names, sess.run(slot_tensors)))
+
         def feed_batch(i, seq=idx_seq):
             fr = pool_frames[seq[i]].astype(np.float32)
             lb = pool_labels[seq[i]].astype(np.float32)
             sess.run(student["fill_input_buffer"],
                      {student["features_input"]: fr,
                       student["labels_input"]: lb})
-        return student, sess, reset, restore_initial, snapshot, feed_batch
+        return (student, sess, reset, restore_initial, snapshot,
+                slot_snapshot, feed_batch)
 
     # NOTE on the warm-slot protocol: every recorded multi-iteration run
     # does [frozen-params warmup on idx_seq] -> restore_initial ->
@@ -266,8 +343,8 @@ def main():
     # gated — by the dedicated 1-iteration "cold1" record below.
 
     # ---- unmasked graph: cold 1-iter gate on the reference `train` op ---
-    student, sess, reset, restore_initial, snapshot, feed_batch = \
-        build(masked=False)
+    (student, sess, reset, restore_initial, snapshot, slot_snapshot,
+     feed_batch) = build(masked=False)
 
     def run_full(i, seq=idx_seq):
         feed_batch(i, seq)
@@ -283,8 +360,8 @@ def main():
 
     # ---- masked graph: all recorded runs (train_coord(ones) ≡ train —
     # asserted bitwise below) ----
-    student, sess, reset, restore_initial, snapshot, feed_batch = \
-        build(masked=True)
+    (student, sess, reset, restore_initial, snapshot, slot_snapshot,
+     feed_batch) = build(masked=True)
     mask_pl = student["grad_masks_pl"]        # keyed by entire_model_vars name
     emv = list(mask_pl.keys())
     ones = {k: np.ones(init_values[k].shape, bool) for k in emv}
@@ -346,6 +423,9 @@ def main():
         out["auto_postsel:" + n[:-2]] = v
     for i in range(1, args.iters):
         losses.append(run_coord(auto_mask, i, idx_seq2))
+    if args.bn_pin:
+        for n, v in snapshot().items():
+            out["auto_final:" + n[:-2]] = v
     out["auto_losses"] = np.asarray(losses, np.float32)
     out["auto_cut"] = np.float64(cut)
     # |delta| margin to the cut — lets the test separate genuine mask
@@ -362,8 +442,24 @@ def main():
     losses = [run_coord(ones, 0, idx_seq2)]
     for n, v in snapshot().items():
         out["full_it1:" + n[:-2]] = v
-    losses += [run_coord(ones, i, idx_seq2) for i in range(1, args.iters)]
+    mid = args.iters // 2
+    for i in range(1, args.iters):
+        losses.append(run_coord(ones, i, idx_seq2))
+        if args.bn_pin and i == mid - 1:
+            for n, v in snapshot().items():
+                out["full_it%d:" % mid + n[:-2]] = v
     out["full_losses"] = np.asarray(losses, np.float32)
+    if args.bn_pin:
+        snap = snapshot()
+        for n, v in snap.items():
+            out["full_final:" + n[:-2]] = v
+        for n, v in slot_snapshot().items():
+            out["full_slot:" + n[:-2]] = v
+        # frozen-stat sanity: the pinned graph must not move ANY moving stat
+        for n in track:
+            if "moving_" in n:
+                assert np.array_equal(snap[n], init_values[n]), \
+                    "pinned BN stat moved: " + n
     print("full_model losses (warm):", losses)
 
     # ---- run "fixed": Bernoulli(coord_frac) mask from iteration 0,
@@ -376,6 +472,9 @@ def main():
         out["fixed_it1:" + n[:-2]] = v
     losses += [run_coord(fixed_mask, i, idx_seq2)
                for i in range(1, args.iters)]
+    if args.bn_pin:
+        for n, v in snapshot().items():
+            out["fixed_final:" + n[:-2]] = v
     out["fixed_losses"] = np.asarray(losses, np.float32)
     for k in emv:
         out["fixed_mask:" + k[:-2]] = fixed_mask[k]
