@@ -23,6 +23,7 @@ from ams_tpu.data.video import (
 from ams_tpu.runtime.config import RunConfig, get_save_dir, print_process
 from ams_tpu.runtime.network import SemanticNetwork
 from ams_tpu.utils.metrics import calculate_miou, string_class_iou
+from ams_tpu.utils.trace import GLOBAL_TIMER
 
 try:
     import cv2
@@ -66,12 +67,14 @@ def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
                 compute_dtype=cfg.compute_dtype,
                 over_ride_total_classes=exp_configs.num_classes(exp_num))
 
-        frame = reader.read_or_die()
-        frame = frame_to_rgb(frame, (size[0], size[1]))
-        gt_frame = load_gt_label(gt_path, i, size_hw=(size[0], size[1]),
-                                 coco_map=map_coco)
-        labels_, conf_mat_, _, miou_, loss_ = network.predict_with_metric(
-            np.expand_dims(frame, 0), np.expand_dims(gt_frame, 0))
+        with GLOBAL_TIMER.span("client/decode"):
+            frame = reader.read_or_die()
+            frame = frame_to_rgb(frame, (size[0], size[1]))
+            gt_frame = load_gt_label(gt_path, i, size_hw=(size[0], size[1]),
+                                     coco_map=map_coco)
+        with GLOBAL_TIMER.span("client/infer"):
+            labels_, conf_mat_, _, miou_, loss_ = network.predict_with_metric(
+                np.expand_dims(frame, 0), np.expand_dims(gt_frame, 0))
         loss_s.append(loss_)
         miou_cats.append(np.array(conf_mat_))
         miou_s.append(miou_)

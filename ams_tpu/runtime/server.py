@@ -143,8 +143,9 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
         print_process("Resumed from frame %d" % i, i / fps)
 
     while i < train_end_frame:
-        frame = reader.read_or_die()
-        gt = load_gt_label(gt_path, i)
+        with GLOBAL_TIMER.span("server/decode"):
+            frame = reader.read_or_die()
+            gt = load_gt_label(gt_path, i)
         frame_label_bucket.append((frame, gt))
 
         i += 1
@@ -179,11 +180,12 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
                 up_codec_exact.append(True)
                 decoded: List[np.ndarray] = []
             elif cfg.compress_uplink:
-                res = uplink_codec.encode_decode_h264(
-                    to_compress,
-                    bitrate_kbps=cfg.uplink_bw * sample_send_period,
-                    out_hw=(size[0], size[1]), fps=10,
-                    work_dir=cfg.output_dir or None)
+                with GLOBAL_TIMER.span("server/uplink_codec"):
+                    res = uplink_codec.encode_decode_h264(
+                        to_compress,
+                        bitrate_kbps=cfg.uplink_bw * sample_send_period,
+                        out_hw=(size[0], size[1]), fps=10,
+                        work_dir=cfg.output_dir or None)
                 up_bw_per_period.append(res.bits)
                 up_codec_exact.append(bool(res.exact_reference_codec))
                 decoded = [np.ascontiguousarray(f, np.uint8)
@@ -278,7 +280,9 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             print("Using %.1fKbps for updating params" % (curr_update // 1024))
 
             save_dir = get_save_dir(cfg, run_label + "_%d" % (i // fps))
-            network.save_to_frozen_graph(save_dir + "_final", fold=cfg.fold_deploy)
+            with GLOBAL_TIMER.span("server/deploy"):
+                network.save_to_frozen_graph(save_dir + "_final",
+                                             fold=cfg.fold_deploy)
             print_process("Saved model to %s_final.npz" % save_dir, i / fps)
             model_save_times.append(i / fps)
 

@@ -20,6 +20,11 @@ invisible to the bench loop):
    (BASELINE.json config #2) at the measured saturation batch (32
    @257x513, tools/tpu_measure_r5.py; the reference labels one frame per
    sess.run).  Same >= 1000 frames/s/chip scale (vs_baseline = fps/1000).
+5. e2e_realtime_factor — the COMPOSED loop (decode -> uplink -> round ->
+   delta -> deploy -> per-frame client scoring) as one --mode early
+   experiment on the chip; value = stream seconds / wall seconds with the
+   per-phase split in "phases_s" (vs_baseline = the factor itself; >= 1
+   means the serialized emulation keeps up with the stream).
 
 Measurement discipline (PERFORMANCE.md): scalar-reducing outputs +
 np.asarray readback (block_until_ready is unreliable over the axon
@@ -238,6 +243,64 @@ def bench_parity_labeling():
     }), flush=True)
 
 
+def bench_e2e_loop():
+    """Metric 5: the COMPOSED emulation loop on the chip (VERDICT r3 next
+    #3) — decode -> uplink -> frame memory -> distillation round -> delta
+    encode -> deploy -> per-frame client scoring, in one ``--mode early``
+    experiment over a synthetic bands clip at the headline 256x512 shape
+    (reference analog run.py:585-608).
+
+    Reports the real-time factor (stream seconds / wall seconds) plus the
+    per-phase wall split from the GLOBAL_TIMER spans.  The emulation
+    SERIALIZES server and client over one chip (production runs them
+    concurrently on separate nodes), so this is a conservative bound; its
+    value as a driver metric is catching host<->device orchestration
+    regressions (per-event D2H gathers, deploy serialization, per-frame
+    dispatch latency) that the component metrics above cannot see.
+    """
+    import shutil
+    import tempfile
+
+    from ams_tpu.data.video import write_synthetic_clip
+    from ams_tpu.runtime.config import RunConfig
+    from ams_tpu.runtime.modes import run_experiment
+    from ams_tpu.utils.trace import GLOBAL_TIMER
+
+    seconds, fps, cutoff = 8, 10, 6  # registry id 90 has test_length 8
+    root = tempfile.mkdtemp(prefix="ams_e2e_bench_")
+    try:
+        vid = os.path.join(root, "90-e2e.mp4")
+        gt = os.path.join(root, "gt")
+        write_synthetic_clip(vid, seconds=seconds, fps=fps,
+                             size_hw=(256, 512), gt_dir=gt, style="bands")
+        cfg = RunConfig(
+            input_video=vid, gt_video=gt + "/",
+            student_checkpoint="synthetic",
+            output_dir=os.path.join(root, "out") + "/",
+            memory_len=10, batch_size=10, iter=200, height=256, lr=1e-3,
+            send_period=2, train_period=2, mode="early",
+            early_cutoff_time=cutoff, train_strategy="coord_desc_auto",
+            coord_fraction=0.1)
+        GLOBAL_TIMER.reset()
+        t0 = time.perf_counter()
+        run_experiment(cfg)
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rtf = seconds / wall
+    phases = {k: round(v, 3) for k, v in sorted(GLOBAL_TIMER.totals.items())
+              if k != "experiment"}
+    print(json.dumps({
+        "metric": "e2e_realtime_factor",
+        "value": round(rtf, 4),
+        "unit": "stream_s/wall_s",
+        "vs_baseline": round(rtf, 4),  # 1.0 == the serialized loop keeps up
+        "path": "early@256x512 iter200 coord@10% (server+client serialized)",
+        "wall_s": round(wall, 2),
+        "phases_s": phases,
+    }), flush=True)
+
+
 # A wedged axon tunnel hangs the FIRST device op forever (no exception —
 # the except-based fallbacks above never fire), which would leave the
 # driver's bench run with no artifact at all.  The watchdog turns an
@@ -270,7 +333,7 @@ def main():
     # round-over-round headline series (student f/s in r01/r02) — keep
     # bench_client last so the series stays comparable across rounds
     for fn in (bench_round, bench_parity_labeling, bench_teacher_labeling,
-               bench_client):
+               bench_e2e_loop, bench_client):
         print("bench: running %s" % fn.__name__, file=sys.stderr)
         sys.stderr.flush()
         try:
