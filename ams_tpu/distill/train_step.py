@@ -302,3 +302,29 @@ def make_predict_fn(num_classes, class_indices, *, train_bn: bool,
         return preds, cm, loss
 
     return predict
+
+
+def make_predict_seq_fn(num_classes, class_indices, *, train_bn: bool,
+                        compute_dtype=jnp.float32):
+    """Per-frame metrics over a frame batch in ONE dispatch (the unfolded
+    analog of models.frozen.make_predict_seq_fn_folded): returns
+    (preds (B,H,W), confusion matrices (B,C,C), losses (B,))."""
+    ci = jnp.asarray(class_indices)
+    n_sel = len(class_indices)
+
+    @jax.jit
+    def predict_seq(params, frames, labels):
+        frames = frames.astype(jnp.float32)
+        reduced_logits, preds = student_forward(
+            params, frames, ci, train=train_bn, compute_dtype=compute_dtype)
+        red_labels, weights, filtered_onehot = reduce_labels(
+            labels, ci, num_classes)
+        cm_f = jax.vmap(lambda l, p, w: confusion_matrix(l, p, n_sel, w))(
+            red_labels, preds, weights)
+        pixel_loss = softmax_xent_with_soft_labels(reduced_logits,
+                                                   filtered_onehot)
+        wsum_f = jnp.maximum(jnp.sum(weights, axis=(1, 2)), 1.0)
+        loss_f = jnp.sum(pixel_loss * weights, axis=(1, 2)) / wsum_f
+        return preds, cm_f, loss_f
+
+    return predict_seq

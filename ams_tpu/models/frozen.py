@@ -133,6 +133,42 @@ def make_predict_fn_folded(num_classes, class_indices,
     return predict
 
 
+def make_predict_seq_fn_folded(num_classes, class_indices,
+                               compute_dtype=jnp.float32):
+    """Per-frame metrics over a frame batch in ONE dispatch: returns
+    (preds (B,H,W), confusion matrices (B,C,C), losses (B,)).
+
+    Same forward/metric semantics as make_predict_fn_folded, but each
+    frame keeps its own confusion matrix and weighted CE — the client
+    emulation scores every streamed frame individually (reference
+    run.py:430-437 runs one sess.run per frame), and batching the scoring
+    loop amortizes per-dispatch latency without changing any per-frame
+    number."""
+    from ams_tpu.distill.loss import reduce_labels
+    from ams_tpu.utils.metrics import confusion_matrix
+
+    ci = jnp.asarray(class_indices)
+    n_sel = len(class_indices)
+
+    @jax.jit
+    def predict_seq(folded, frames, labels):
+        frames = frames.astype(jnp.float32)
+        reduced_logits = student_forward_folded(
+            folded, frames, class_indices=ci, compute_dtype=compute_dtype)
+        preds = jnp.argmax(reduced_logits, -1).astype(jnp.int32)
+        red_labels, weights, filtered_onehot = reduce_labels(
+            labels, ci, num_classes)
+        cm_f = jax.vmap(lambda l, p, w: confusion_matrix(l, p, n_sel, w))(
+            red_labels, preds, weights)
+        logp = jax.nn.log_softmax(reduced_logits, axis=-1)
+        pixel_loss = -jnp.sum(filtered_onehot * logp, axis=-1)
+        wsum_f = jnp.maximum(jnp.sum(weights, axis=(1, 2)), 1.0)
+        loss_f = jnp.sum(pixel_loss * weights, axis=(1, 2)) / wsum_f
+        return preds, cm_f, loss_f
+
+    return predict_seq
+
+
 def student_forward_folded(folded: Params, frames, class_indices=None, *,
                            compute_dtype=jnp.bfloat16, out_hw="input",
                            fused_blocks=False, banded_min_hw=96 * 96,

@@ -55,6 +55,12 @@ def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
     map_coco = exp_configs.coco_class_converter() \
         if exp_configs.is_coco(exp_num) else None
 
+    # One second of frames per device dispatch: deployments and load
+    # points are second-aligned, and predict_with_metric_seq returns the
+    # same per-frame numbers as frame-by-frame scoring (reference
+    # run.py:430-437) minus fps-1 dispatch round-trips per second — the
+    # per-frame loop was measured at ~700 ms/frame of pure dispatch
+    # latency over the tunneled chip.
     while i < inf_end_frame:
         if i / fps in load_range:
             save_dir = get_save_dir(cfg, run_label + "_%d" % (i // fps))
@@ -67,21 +73,27 @@ def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
                 compute_dtype=cfg.compute_dtype,
                 over_ride_total_classes=exp_configs.num_classes(exp_num))
 
+        n_batch = int(min(fps, inf_end_frame - i))
         with GLOBAL_TIMER.span("client/decode"):
-            frame = reader.read_or_die()
-            frame = frame_to_rgb(frame, (size[0], size[1]))
-            gt_frame = load_gt_label(gt_path, i, size_hw=(size[0], size[1]),
-                                     coco_map=map_coco)
+            frames, gt_frames = [], []
+            for j in range(n_batch):
+                frame = reader.read_or_die()
+                frames.append(frame_to_rgb(frame, (size[0], size[1])))
+                gt_frames.append(load_gt_label(
+                    gt_path, i + j, size_hw=(size[0], size[1]),
+                    coco_map=map_coco))
         with GLOBAL_TIMER.span("client/infer"):
-            labels_, conf_mat_, _, miou_, loss_ = network.predict_with_metric(
-                np.expand_dims(frame, 0), np.expand_dims(gt_frame, 0))
-        loss_s.append(loss_)
-        miou_cats.append(np.array(conf_mat_))
-        miou_s.append(miou_)
-        confusion_matrix_memory.append(conf_mat_)
-        miou_mem_s.append(np.nanmean(calculate_miou(
-            np.sum(list(confusion_matrix_memory), axis=0), nan=True)))
-        i += 1
+            labels_, conf_mats, mious, losses = \
+                network.predict_with_metric_seq(np.stack(frames),
+                                                np.stack(gt_frames))
+        for j in range(n_batch):
+            loss_s.append(float(losses[j]))
+            miou_cats.append(conf_mats[j])
+            miou_s.append(mious[j])
+            confusion_matrix_memory.append(conf_mats[j])
+            miou_mem_s.append(np.nanmean(calculate_miou(
+                np.sum(list(confusion_matrix_memory), axis=0), nan=True)))
+        i += n_batch
 
         if i % fps == 0:
             miou = np.nanmean(calculate_miou(np.sum(miou_cats[-fps:], axis=0),
@@ -98,28 +110,33 @@ def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
                 labels=exp_configs.class_labels(exp_num)), i / fps)
 
         if cfg.save_pic:
-            save_dir_pic = final_save_dir + ("_%d_" % (i / fps))
-            cross_mask, ignore_mask = network.cross_ignore(
-                label_teacher=gt_frame, label_student=labels_[0])
-            cv2.imwrite(save_dir_pic + "cross_mask.png",
-                        cv2.cvtColor(cross_mask, cv2.COLOR_RGB2BGR))
-            cv2.imwrite(save_dir_pic + "ignore_mask.png",
-                        cv2.cvtColor(ignore_mask, cv2.COLOR_RGB2BGR))
-            overlay_t, output_t = network.colorize_teacher(label=gt_frame,
-                                                           frame=frame)
-            cv2.imwrite(save_dir_pic + "overlay_teacher.png",
-                        cv2.cvtColor(overlay_t, cv2.COLOR_RGB2BGR))
-            cv2.imwrite(save_dir_pic + "output_teacher.png",
-                        cv2.cvtColor(output_t, cv2.COLOR_RGB2BGR))
-            overlay_s, output_s = network.colorize(label=labels_[0],
-                                                   frame=frame)
-            cv2.imwrite(save_dir_pic + "output_student.png",
-                        cv2.cvtColor(output_s, cv2.COLOR_RGB2BGR))
-            cv2.imwrite(save_dir_pic + "overlay_student.png",
-                        cv2.cvtColor(overlay_s, cv2.COLOR_RGB2BGR))
-            cv2.imwrite(save_dir_pic + "frame.png",
-                        cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
-            cv2.imwrite(save_dir_pic + "label_student.png", labels_[0])
+            for j in range(n_batch):
+                frame, gt_frame = frames[j], gt_frames[j]
+                # reference path naming: the truncated second of the
+                # 1-based frame counter
+                save_dir_pic = final_save_dir + \
+                    ("_%d_" % ((i - n_batch + j + 1) / fps))
+                cross_mask, ignore_mask = network.cross_ignore(
+                    label_teacher=gt_frame, label_student=labels_[j])
+                cv2.imwrite(save_dir_pic + "cross_mask.png",
+                            cv2.cvtColor(cross_mask, cv2.COLOR_RGB2BGR))
+                cv2.imwrite(save_dir_pic + "ignore_mask.png",
+                            cv2.cvtColor(ignore_mask, cv2.COLOR_RGB2BGR))
+                overlay_t, output_t = network.colorize_teacher(
+                    label=gt_frame, frame=frame)
+                cv2.imwrite(save_dir_pic + "overlay_teacher.png",
+                            cv2.cvtColor(overlay_t, cv2.COLOR_RGB2BGR))
+                cv2.imwrite(save_dir_pic + "output_teacher.png",
+                            cv2.cvtColor(output_t, cv2.COLOR_RGB2BGR))
+                overlay_s, output_s = network.colorize(label=labels_[j],
+                                                       frame=frame)
+                cv2.imwrite(save_dir_pic + "output_student.png",
+                            cv2.cvtColor(output_s, cv2.COLOR_RGB2BGR))
+                cv2.imwrite(save_dir_pic + "overlay_student.png",
+                            cv2.cvtColor(overlay_s, cv2.COLOR_RGB2BGR))
+                cv2.imwrite(save_dir_pic + "frame.png",
+                            cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                cv2.imwrite(save_dir_pic + "label_student.png", labels_[j])
 
     np.save("%s_loss.npy" % final_save_dir, loss_s)
     np.save("%s_mioucats.npy" % final_save_dir, miou_cats)

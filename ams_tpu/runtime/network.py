@@ -131,13 +131,24 @@ class SemanticNetwork:
         # scale/offset constant-folded into each conv.
         ci = tuple(self.class_indices_graph)
         if self._folded:
-            from ams_tpu.models.frozen import make_predict_fn_folded
+            from ams_tpu.models.frozen import (
+                make_predict_fn_folded,
+                make_predict_seq_fn_folded,
+            )
 
             self._predict = make_predict_fn_folded(
                 self.TOTAL_CLASSES, ci,
                 compute_dtype=jnp.dtype(compute_dtype))
+            self._predict_seq = make_predict_seq_fn_folded(
+                self.TOTAL_CLASSES, ci,
+                compute_dtype=jnp.dtype(compute_dtype))
         else:
+            from ams_tpu.distill.train_step import make_predict_seq_fn
+
             self._predict = make_predict_fn(
+                self.TOTAL_CLASSES, ci,
+                train_bn=not frozen, compute_dtype=jnp.dtype(compute_dtype))
+            self._predict_seq = make_predict_seq_fn(
                 self.TOTAL_CLASSES, ci,
                 train_bn=not frozen, compute_dtype=jnp.dtype(compute_dtype))
 
@@ -268,6 +279,49 @@ class SemanticNetwork:
         miou_ = np.nanmean(iou_)
         assert labels_student.shape == frames.shape[:-1]
         return labels_student, conf_mat_, iou_, miou_, float(loss)
+
+    def predict_with_metric_seq(self, frames, labels_teacher):
+        """Per-frame scoring for a batch of frames in ONE device dispatch:
+        returns (labels (B,H,W), confusion matrices (B,C,C), per-frame
+        mIoUs (B,), per-frame losses (B,)) — identical per-frame numbers
+        to predict_with_metric called frame by frame, minus B-1 dispatch
+        round-trips (the per-frame client loop over the tunneled chip was
+        measured ~700 ms/frame of pure dispatch latency).
+
+        Batches are padded to a power-of-two count so the program
+        retraces O(log B) times as window sizes vary, not per size.
+
+        Frozen networks only: a training-mode (non-frozen) graph
+        normalizes with BATCH statistics, so batching would couple frames
+        and change every per-frame number.
+        """
+        assert self.frozen, \
+            "predict_with_metric_seq requires a frozen network (batch-stat " \
+            "BN couples frames); score per frame on training-mode graphs"
+        frames = np.asarray(frames)
+        labels_teacher = np.asarray(labels_teacher)
+        n = frames.shape[0]
+        assert n >= 1 and labels_teacher.shape[0] == n
+        cap = 1
+        while cap < n:
+            cap *= 2
+        if cap != n:
+            pad = cap - n
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
+            labels_teacher = np.concatenate(
+                [labels_teacher, np.repeat(labels_teacher[-1:], pad,
+                                           axis=0)], axis=0)
+        with self.process_lock:
+            preds, cm_f, loss_f = self._predict_seq(
+                self.params, self._stage_frames(frames),
+                jnp.asarray(labels_teacher))
+        labels_student = np.asarray(preds)[:n]
+        conf_mats = np.asarray(cm_f)[:n]
+        losses = np.asarray(loss_f)[:n]
+        mious = np.array([np.nanmean(calculate_miou(c, nan=True))
+                          for c in conf_mats])
+        return labels_student, conf_mats, mious, losses
 
     def calc_cross_miou(self, labels):
         """Temporal cross-mIoU between two consecutive teacher label maps

@@ -136,3 +136,37 @@ def test_missing_checkpoint_path_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         SemanticNetwork(meta_dir=str(tmp_path / "no_such_artifact"),
                         class_weights_exp=_cw([0]), height=32, frozen=True)
+
+
+def test_predict_seq_matches_per_frame(net, tmp_path):
+    """Batched client scoring (predict_with_metric_seq) returns the SAME
+    per-frame numbers as frame-by-frame predict_with_metric — it exists
+    purely to amortize dispatch latency (client.py batches one second of
+    frames per call).  Frozen clients only (training-mode BN would couple
+    frames through batch statistics — asserted).  Covers the pow2 padding
+    path (n=3 -> cap 4)."""
+    path = str(tmp_path / "seq_deployed")
+    net.save_to_frozen_graph(path)
+    client = SemanticNetwork(meta_dir=path,
+                             class_weights_exp=_cw([0, 2, 10, 13]),
+                             height=32, frozen=True)
+    rng = np.random.RandomState(4)
+    frames = rng.randint(0, 256, (3, 32, 64, 3)).astype(np.float32)
+    gts = rng.randint(0, 19, (3, 32, 64)).astype(np.int32)
+    labels_b, cms_b, mious_b, losses_b = client.predict_with_metric_seq(
+        frames, gts)
+    assert labels_b.shape == (3, 32, 64) and cms_b.shape[0] == 3
+    for j in range(3):
+        labels_1, cm_1, _iou, miou_1, loss_1 = client.predict_with_metric(
+            frames[j:j + 1], gts[j:j + 1])
+        np.testing.assert_array_equal(labels_b[j], labels_1[0])
+        np.testing.assert_array_equal(cms_b[j], cm_1)
+        np.testing.assert_allclose(losses_b[j], loss_1, rtol=1e-6)
+        if np.isnan(miou_1):
+            assert np.isnan(mious_b[j])
+        else:
+            np.testing.assert_allclose(mious_b[j], miou_1, rtol=1e-6)
+
+    # training-mode graphs must refuse the batched path
+    with pytest.raises(AssertionError, match="frozen"):
+        net.predict_with_metric_seq(frames, gts)
