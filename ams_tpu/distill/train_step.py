@@ -273,6 +273,7 @@ def all_true_mask(params):
     return {k: jnp.ones(v.shape, bool) for k, v in train.items()}
 
 
+@functools.lru_cache(maxsize=None)
 def make_predict_fn(num_classes, class_indices, *, train_bn: bool,
                     compute_dtype=jnp.float32):
     """Jitted inference with metrics.
@@ -304,6 +305,7 @@ def make_predict_fn(num_classes, class_indices, *, train_bn: bool,
     return predict
 
 
+@functools.lru_cache(maxsize=None)
 def make_predict_seq_fn(num_classes, class_indices, *, train_bn: bool,
                         compute_dtype=jnp.float32):
     """Per-frame metrics over a frame batch in ONE dispatch (the unfolded

@@ -18,6 +18,7 @@ re-association), so the precise bit-match path keeps the unfolded form.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -104,6 +105,7 @@ def student_predict_fast_folded(folded: Params, frames, class_indices, *,
                                interpret=interpret)
 
 
+@functools.lru_cache(maxsize=None)
 def make_predict_fn_folded(num_classes, class_indices,
                            compute_dtype=jnp.float32):
     """Jitted folded-client inference with metrics — the deployed analog of
@@ -133,6 +135,7 @@ def make_predict_fn_folded(num_classes, class_indices,
     return predict
 
 
+@functools.lru_cache(maxsize=None)
 def make_predict_seq_fn_folded(num_classes, class_indices,
                                compute_dtype=jnp.float32):
     """Per-frame metrics over a frame batch in ONE dispatch: returns

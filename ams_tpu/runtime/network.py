@@ -44,6 +44,30 @@ from ams_tpu.utils import checkpoint as ckpt
 from ams_tpu.utils.colormap import colormap
 from ams_tpu.utils.metrics import calculate_miou, confusion_matrix
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fast_predict(folded: bool, ci: tuple, cd):
+    """Memoized fast-predict program: the client emulation constructs a
+    fresh SemanticNetwork per deploy event, and a per-instance jit closure
+    would re-deserialize + re-load the executable each time (measured
+    ~tens of seconds per reload over the tunneled chip).  Keyed on
+    (folded, class indices, compute dtype) — params are call arguments."""
+    if folded:
+        from ams_tpu.models.frozen import student_predict_fast_folded \
+            as fast_fwd
+    else:
+        from ams_tpu.models.mobilenetv2_deeplab import \
+            student_predict_fast as fast_fwd
+
+    @jax.jit
+    def fast(params, frames):
+        # interpret auto-selected: Mosaic on TPU, interpreter off it
+        return fast_fwd(params, frames, ci, compute_dtype=cd)
+
+    return fast
+
 
 class SemanticNetwork:
     """One student model instance (trainable server copy or frozen client)."""
@@ -159,20 +183,8 @@ class SemanticNetwork:
         # metric keeps the materialized-logits path (it needs the loss).
         self._fast_predict = None
         if frozen:
-            if self._folded:
-                from ams_tpu.models.frozen import student_predict_fast_folded \
-                    as fast_fwd
-            else:
-                from ams_tpu.models.mobilenetv2_deeplab import \
-                    student_predict_fast as fast_fwd
-            cd = jnp.dtype(compute_dtype)
-
-            @jax.jit
-            def fast(params, frames):
-                # interpret auto-selected: Mosaic on TPU, interpreter off it
-                return fast_fwd(params, frames, ci, compute_dtype=cd)
-
-            self._fast_predict = fast
+            self._fast_predict = _make_fast_predict(
+                self._folded, ci, jnp.dtype(compute_dtype))
 
         if not frozen:
             train, _ = split_params(self.params)

@@ -41,10 +41,20 @@ import traceback
 import numpy as np
 
 # Persistent compile cache: repeated driver runs skip the multi-minute
-# remote compile (must be set before the JAX backend initializes).
+# remote compile.  The env vars alone are NOT enough: sitecustomize
+# imports jax at interpreter startup, so they are latched before this
+# module runs (the same gotcha as JAX_PLATFORMS — measured: the cache dir
+# was never created and every bench run recompiled the e2e loop's round
+# for minutes).  jax.config must be updated explicitly.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/ams_tpu_tpu_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def _measure(forward, params, frames, batch, iters=20, trials=5):
@@ -266,10 +276,14 @@ def bench_e2e_loop():
     from ams_tpu.runtime.modes import run_experiment
     from ams_tpu.utils.trace import GLOBAL_TIMER
 
-    seconds, fps, cutoff = 8, 10, 6  # registry id 90 has test_length 8
+    # registry id 94: synthetic, test_length 40 — run at the REFERENCE
+    # cadence (send/train period 10 s, the paper's main config) so the
+    # factor states whether the loop keeps up with the stream it was
+    # designed for, not with an artificially dense 2 s schedule
+    seconds, fps, cutoff = 40, 10, 20
     root = tempfile.mkdtemp(prefix="ams_e2e_bench_")
     try:
-        vid = os.path.join(root, "90-e2e.mp4")
+        vid = os.path.join(root, "94-e2e.mp4")
         gt = os.path.join(root, "gt")
         write_synthetic_clip(vid, seconds=seconds, fps=fps,
                              size_hw=(256, 512), gt_dir=gt, style="bands")
@@ -278,7 +292,7 @@ def bench_e2e_loop():
             student_checkpoint="synthetic",
             output_dir=os.path.join(root, "out") + "/",
             memory_len=10, batch_size=10, iter=200, height=256, lr=1e-3,
-            send_period=2, train_period=2, mode="early",
+            send_period=10, train_period=10, mode="early",
             early_cutoff_time=cutoff, train_strategy="coord_desc_auto",
             coord_fraction=0.1)
         GLOBAL_TIMER.reset()
@@ -295,7 +309,7 @@ def bench_e2e_loop():
         "value": round(rtf, 4),
         "unit": "stream_s/wall_s",
         "vs_baseline": round(rtf, 4),  # 1.0 == the serialized loop keeps up
-        "path": "early@256x512 iter200 coord@10% (server+client serialized)",
+        "path": "early@256x512 iter200 coord@10% period10 (server+client serialized)",
         "wall_s": round(wall, 2),
         "phases_s": phases,
     }), flush=True)
@@ -305,9 +319,10 @@ def bench_e2e_loop():
 # the except-based fallbacks above never fire), which would leave the
 # driver's bench run with no artifact at all.  The watchdog turns an
 # indefinite hang into a loud, diagnosable failure.  Budget: session setup
-# ~2 min + up to three cold remote compiles of minutes each, so the default
-# is generous; a warm-cache run finishes in a few minutes.
-_WATCHDOG_S = float(os.environ.get("AMS_BENCH_TIMEOUT_S", 2700))
+# ~2 min + cold remote compiles of minutes each (metric 5's composed loop
+# adds its own client/round/deploy programs), so the default is generous;
+# a warm-cache run finishes in a few minutes.
+_WATCHDOG_S = float(os.environ.get("AMS_BENCH_TIMEOUT_S", 3300))
 
 
 def _watchdog(budget_s: float) -> threading.Timer:
