@@ -276,14 +276,17 @@ def bench_e2e_loop():
     from ams_tpu.runtime.modes import run_experiment
     from ams_tpu.utils.trace import GLOBAL_TIMER
 
-    # registry id 94: synthetic, test_length 40 — run at the REFERENCE
+    # registry id 93: synthetic, test_length 130 — run at the REFERENCE
     # cadence (send/train period 10 s, the paper's main config) so the
     # factor states whether the loop keeps up with the stream it was
-    # designed for, not with an artificially dense 2 s schedule
-    seconds, fps, cutoff = 40, 10, 20
+    # designed for, not with an artificially dense 2 s schedule.  The
+    # 130 s stream also amortizes the per-process executable-load cost
+    # (~25 s for the 70 MB round program over the tunnel — paid once per
+    # bench process regardless of the compile cache).
+    seconds, fps, cutoff = 130, 10, 30
     root = tempfile.mkdtemp(prefix="ams_e2e_bench_")
     try:
-        vid = os.path.join(root, "94-e2e.mp4")
+        vid = os.path.join(root, "93-e2e.mp4")
         gt = os.path.join(root, "gt")
         write_synthetic_clip(vid, seconds=seconds, fps=fps,
                              size_hw=(256, 512), gt_dir=gt, style="bands")
