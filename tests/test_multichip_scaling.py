@@ -51,12 +51,11 @@ def _best_of(call, n=3):
     return best
 
 
-def test_multi_video_round_parallelizes():
+def _measure_ratio(V):
+    """Return (t1, tV): the single-video round on one device vs V videos
+    on V devices under shard_map (identical spec/shapes)."""
     from ams_tpu.parallel.mesh import make_mesh
     from ams_tpu.parallel.sharded import make_multi_video_round, stack_videos
-
-    if len(jax.devices()) < 8:
-        pytest.skip("needs the 8-device virtual mesh")
 
     spec = DistillSpec(iters=4, batch_size=2, num_classes=19,
                        class_indices=(0, 1, 2, 10, 11, 13),
@@ -75,8 +74,7 @@ def test_multi_video_round_parallelizes():
                                  jnp.float32(1e-3),
                                  all_true_mask(params))[3])
 
-    # 8 videos on 8 devices
-    V = 8
+    # V videos on V devices
     mesh = make_mesh(V, model_parallelism=1)
     mv = make_multi_video_round(spec, mesh)
     videos = [init_student_params(jax.random.PRNGKey(i)) for i in range(V)]
@@ -89,15 +87,21 @@ def test_multi_video_round_parallelizes():
     n_valid_V = jnp.full((V,), cap, jnp.int32)
     rngs_V = jax.random.split(jax.random.PRNGKey(0), V)
     with mesh:
-        t8 = _best_of(lambda: mv(params_V, opt_V, frames_V, labels_V,
+        tV = _best_of(lambda: mv(params_V, opt_V, frames_V, labels_V,
                                  n_valid_V, rngs_V, jnp.float32(1e-3),
                                  mask_V)[3])
+    return t1, tV
 
-    per_video_ratio = t8 / t1
+
+def test_multi_video_round_parallelizes():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    V = 8
+    t1, t8 = _measure_ratio(V)
     cores = os.cpu_count() or 1
     print("single-video round %.3fs; 8 videos on 8 devices %.3fs "
           "(%.2fx the single round; serialized would be ~8x; host has "
-          "%d cores)" % (t1, t8, per_video_ratio, cores))
+          "%d cores)" % (t1, t8, t8 / t1, cores))
     if cores >= V:
         # enough cores for the 8 device programs to actually overlap:
         # concurrency is observable, require it
@@ -108,3 +112,24 @@ def test_multi_video_round_parallelizes():
         # t1 noise ~30%); gate only pathologies (retrace per video, a
         # serialization bug in the shard_map lowering: 30-80x)
         assert t8 < 2.0 * V * t1, (t8, t1, cores)
+
+
+def test_multi_video_round_parallelizes_v2_any_multicore():
+    """V=2 on 2 devices (VERDICT r3 next #6): observes CONCURRENCY — not
+    just absence of pathology — on any host with >= 2 cores, rather than
+    only when nproc >= 8.  A serialized implementation costs ~2x the
+    single round (+ scheduling overhead); a parallel one well under that.
+    Skips on 1-core hosts where the two device programs physically
+    time-slice one core."""
+    cores = os.cpu_count() or 1
+    if cores < 2:
+        pytest.skip("needs >= 2 cores to observe 2-program concurrency "
+                    "(host has %d)" % cores)
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    t1, t2 = _measure_ratio(2)
+    print("V=2 concurrency: t1 %.3fs, t2 %.3fs (%.2fx; serialized ~2x)"
+          % (t1, t2, t2 / t1))
+    # measured t1 noise is ~30% between quiet-host runs; 1.6x separates a
+    # concurrent round (~1.0-1.3x) from serialization (~2x+)
+    assert t2 < 1.6 * t1, (t2, t1, cores)
