@@ -120,7 +120,6 @@ _add(90, 19, [0, 1, 2, 8, 10], 8, dataset="synthetic")
 _add(91, 19, range(19), 8, dataset="synthetic")
 _add(92, 21, [0, 7, 15], 8, coco=True, dataset="synthetic")  # LVS-style
 _add(93, 19, [0, 1, 2, 8, 10], 130, dataset="synthetic")  # reference-cadence
-_add(94, 19, [0, 1, 2, 8, 10], 40, dataset="synthetic")  # e2e bench clip
 # soak: long enough for simple mode's first-train-at-100s schedule
 
 

@@ -163,6 +163,10 @@ def make_predict_seq_fn_folded(num_classes, class_indices,
             labels, ci, num_classes)
         cm_f = jax.vmap(lambda l, p, w: confusion_matrix(l, p, n_sel, w))(
             red_labels, preds, weights)
+        # the CE form below deliberately mirrors make_predict_fn_folded's
+        # inline expression (not distill.loss's helper) so the batched and
+        # per-frame folded metric paths stay bit-identical — the
+        # equivalence test gates them against each other
         logp = jax.nn.log_softmax(reduced_logits, axis=-1)
         pixel_loss = -jnp.sum(filtered_onehot * logp, axis=-1)
         wsum_f = jnp.maximum(jnp.sum(weights, axis=(1, 2)), 1.0)

@@ -128,8 +128,16 @@ def test_multi_video_round_parallelizes_v2_any_multicore():
     if len(jax.devices()) < 2:
         pytest.skip("needs >= 2 virtual devices")
     t1, t2 = _measure_ratio(2)
-    print("V=2 concurrency: t1 %.3fs, t2 %.3fs (%.2fx; serialized ~2x)"
-          % (t1, t2, t2 / t1))
-    # measured t1 noise is ~30% between quiet-host runs; 1.6x separates a
-    # concurrent round (~1.0-1.3x) from serialization (~2x+)
-    assert t2 < 1.6 * t1, (t2, t1, cores)
+    print("V=2 concurrency: t1 %.3fs, t2 %.3fs (%.2fx; serialized ~2x; "
+          "%d cores)" % (t1, t2, t2 / t1, cores))
+    if cores >= 4:
+        # spare cores beyond what one program's intra-op pool can use:
+        # measured t1 noise is ~30% between quiet-host runs; 1.6x separates
+        # a concurrent round (~1.0-1.3x) from serialization (~2x+)
+        assert t2 < 1.6 * t1, (t2, t1, cores)
+    else:
+        # 2-3 cores: the single round's intra-op Eigen pool may already
+        # saturate the host, so t2 can legitimately approach 2x t1 — gate
+        # only pathologies (per-video retrace / shard_map serialization
+        # bugs land at 2V x and beyond)
+        assert t2 < 3.0 * t1, (t2, t1, cores)
