@@ -66,15 +66,16 @@ def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
     batch_cap_frames = max(int(fps), (64 // int(fps)) * int(fps))
     while i < inf_end_frame:
         if i / fps in load_range:
-            save_dir = get_save_dir(cfg, run_label + "_%d" % (i // fps))
-            if network is not None:
-                network.close_model()
-            network = SemanticNetwork(
-                meta_dir=save_dir + "_final",
-                class_weights_exp=exp_configs.class_weights(exp_num),
-                height=cfg.height, frozen=True,
-                compute_dtype=cfg.compute_dtype,
-                over_ride_total_classes=exp_configs.num_classes(exp_num))
+            with GLOBAL_TIMER.span("client/load_model"):
+                save_dir = get_save_dir(cfg, run_label + "_%d" % (i // fps))
+                if network is not None:
+                    network.close_model()
+                network = SemanticNetwork(
+                    meta_dir=save_dir + "_final",
+                    class_weights_exp=exp_configs.class_weights(exp_num),
+                    height=cfg.height, frozen=True,
+                    compute_dtype=cfg.compute_dtype,
+                    over_ride_total_classes=exp_configs.num_classes(exp_num))
 
         stop = min([inf_end_frame] + [int(s * fps) for s in load_range
                                       if s * fps > i])

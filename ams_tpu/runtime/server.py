@@ -93,14 +93,16 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
     # this period's decoded frames, so only matched pairs enter the memory
     label_memory = memory.labels  # shared deque, reference keeps two deques
 
-    network = SemanticNetwork(
-        meta_dir=cfg.student_checkpoint,
-        class_weights_exp=exp_configs.class_weights(exp_num),
-        height=cfg.height, scale=[1], mini_batch_size=cfg.batch_size,
-        lr=cfg.lr, coord_frac=cfg.coord_fraction,
-        cross_miou_compat=cfg.enable_ASR, compute_dtype=cfg.compute_dtype,
-        conv_precision=cfg.conv_precision,
-        over_ride_total_classes=exp_configs.num_classes(exp_num))
+    with GLOBAL_TIMER.span("server/load_model"):
+        network = SemanticNetwork(
+            meta_dir=cfg.student_checkpoint,
+            class_weights_exp=exp_configs.class_weights(exp_num),
+            height=cfg.height, scale=[1], mini_batch_size=cfg.batch_size,
+            lr=cfg.lr, coord_frac=cfg.coord_fraction,
+            cross_miou_compat=cfg.enable_ASR,
+            compute_dtype=cfg.compute_dtype,
+            conv_precision=cfg.conv_precision,
+            over_ride_total_classes=exp_configs.num_classes(exp_num))
 
     resume_prefix = get_save_dir(cfg, run_label)
     bundle = None
