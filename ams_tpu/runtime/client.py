@@ -43,6 +43,16 @@ def infer_output(cfg: RunConfig, inf_start: int, inf_end: int,
     # compute (the reference decodes inline per iteration)
     reader = PrefetchingVideoReader(cfg.input_video)
     fps = reader.fps
+    # The whole loop is second-aligned: batch boundaries use int(s * fps)
+    # while load points use float equality on i / fps, so a non-integer
+    # fps (29.97 real video) would silently skip every deploy, and fps < 1
+    # zero-divides in batch_cap_frames.  Fail loudly instead (the
+    # reference shares the assumption implicitly, run.py:379-386).
+    if not (float(fps).is_integer() and fps >= 1):
+        raise ValueError(
+            "infer_output requires an integer fps >= 1 (got %r); re-encode "
+            "the clip or fix the container's fps metadata" % (fps,))
+    fps = int(fps)
     inf_end_frame = inf_end * fps
     i = inf_start * fps
     reader.seek_frame(i)

@@ -135,10 +135,15 @@ def make_teacher_labeler(teacher_checkpoint: Optional[str] = None,
     def label(frames: np.ndarray) -> np.ndarray:
         # ship uint8: the model casts on device (xception_deeplab
         # teacher_logits), and f32 staging would 4x the host->device bytes
-        arr = np.pad(np.asarray(frames, np.uint8),
-                     ((0, 0), (1, 0), (1, 0), (0, 0)), mode="symmetric")
+        frames = np.asarray(frames, np.uint8)
         if resolved["batch"] is None:
-            resolved["batch"] = auto_batch(int(arr.shape[1]))
+            # resolve from the UNPADDED height: extract_labels and the
+            # auto_batch docstring thresholds key on frame rows, and the
+            # +1 pad below would tip exact-threshold heights (320/640)
+            # into the next-smaller batch
+            resolved["batch"] = auto_batch(int(frames.shape[1]))
+        arr = np.pad(frames, ((0, 0), (1, 0), (1, 0), (0, 0)),
+                     mode="symmetric")
         preds = _predict_fixed_batch(predict, params, arr, resolved["batch"])
         return preds[:, 1:, 1:].astype(np.uint8)
 

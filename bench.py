@@ -24,7 +24,20 @@ invisible to the bench loop):
    delta -> deploy -> per-frame client scoring) as one --mode early
    experiment on the chip; value = stream seconds / wall seconds with the
    per-phase split in "phases_s" (vs_baseline = the factor itself; >= 1
-   means the serialized emulation keeps up with the stream).
+   means the serialized emulation keeps up with the stream).  Emitted
+   TWICE: cold (first in-process run — includes the one-time ~25 s
+   executable load over the tunnel) and e2e_realtime_factor_warm (second
+   run of the same experiment, executables resident — the orchestration-
+   regression signal, VERDICT r4 weak #3).
+
+Record discipline (VERDICT r4 weak #2): the driver keeps only a bounded
+TAIL of bench stdout, and r04's e2e experiment printed ~175 s of
+per-second IoU tables that pushed three metric lines out of the recorded
+tail.  The experiment's stdout is therefore swallowed here (it is
+emulation progress chatter, not bench output), and every metric is
+re-emitted in one compact "bench_summary" line just before the final
+client line (which stays last — the driver's round-over-round headline
+series parses the last JSON line).
 
 Measurement discipline (PERFORMANCE.md): scalar-reducing outputs +
 np.asarray readback (block_until_ready is unreliable over the axon
@@ -55,6 +68,18 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# every metric record lands here so main() can re-emit the compact
+# bench_summary line (loss-proof against the driver's tail truncation)
+RECORDS = []
+
+
+def _emit(rec, hold=False):
+    RECORDS.append(rec)
+    if not hold:
+        print(json.dumps(rec), flush=True)
+    return rec
 
 
 def _measure(forward, params, frames, batch, iters=20, trials=5):
@@ -126,13 +151,15 @@ def bench_client():
             path = "precise"
             fps = _measure(precise, params, frames, batch)
 
-    print(json.dumps({
+    # held: main() prints this LAST (after bench_summary) so the driver's
+    # headline series keeps parsing the final JSON line as client f/s
+    return _emit({
         "metric": "student_frames_per_sec_512",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 1000.0, 4),
         "path": path,
-    }), flush=True)
+    }, hold=True)
 
 
 def bench_round(trials=3):
@@ -172,13 +199,13 @@ def bench_round(trials=3):
         np.asarray(out[3])  # the loss trace: depends on the whole round
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    print(json.dumps({
+    _emit({
         "metric": "distill_round_seconds",
         "value": round(best, 3),
         "unit": "s",
         "vs_baseline": round(5.0 / best, 4),
         "path": "bf16+peeled_f32_selection",
-    }), flush=True)
+    })
 
 
 def bench_teacher_labeling():
@@ -209,14 +236,14 @@ def bench_teacher_labeling():
         return teacher_predict_fast(p, f).sum()
 
     fps = _measure(predict_sum, params, frames, batch, iters=10)
-    print(json.dumps({
+    _emit({
         "metric": "teacher_label_frames_per_sec",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 1000.0, 4),
         "path": "xception65_bf16_b32+fused_resize_argmax (f32-input sweep "
                 "program; production labeler ships uint8)",
-    }), flush=True)
+    })
 
 
 def bench_parity_labeling():
@@ -244,13 +271,13 @@ def bench_parity_labeling():
                                    (512, 512)).sum()
 
     fps = _measure(precise_fast, folded, frames, batch, iters=10)
-    print(json.dumps({
+    _emit({
         "metric": "parity_label_frames_per_sec_512",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 1000.0, 4),
         "path": "folded_f32_highest+fused_resize_argmax",
-    }), flush=True)
+    })
 
 
 def bench_e2e_loop():
@@ -276,6 +303,8 @@ def bench_e2e_loop():
     from ams_tpu.runtime.modes import run_experiment
     from ams_tpu.utils.trace import GLOBAL_TIMER
 
+    import contextlib
+
     # registry id 93: synthetic, test_length 130 — run at the REFERENCE
     # cadence (send/train period 10 s, the paper's main config) so the
     # factor states whether the loop keeps up with the stream it was
@@ -290,32 +319,59 @@ def bench_e2e_loop():
         gt = os.path.join(root, "gt")
         write_synthetic_clip(vid, seconds=seconds, fps=fps,
                              size_hw=(256, 512), gt_dir=gt, style="bands")
-        cfg = RunConfig(
-            input_video=vid, gt_video=gt + "/",
-            student_checkpoint="synthetic",
-            output_dir=os.path.join(root, "out") + "/",
-            memory_len=10, batch_size=10, iter=200, height=256, lr=1e-3,
-            send_period=10, train_period=10, mode="early",
-            early_cutoff_time=cutoff, train_strategy="coord_desc_auto",
-            coord_fraction=0.1)
-        GLOBAL_TIMER.reset()
-        t0 = time.perf_counter()
-        run_experiment(cfg)
-        wall = time.perf_counter() - t0
+
+        def one_run(tag):
+            cfg = RunConfig(
+                input_video=vid, gt_video=gt + "/",
+                student_checkpoint="synthetic",
+                output_dir=os.path.join(root, "out_" + tag) + "/",
+                memory_len=10, batch_size=10, iter=200, height=256, lr=1e-3,
+                send_period=10, train_period=10, mode="early",
+                early_cutoff_time=cutoff, train_strategy="coord_desc_auto",
+                coord_fraction=0.1)
+            GLOBAL_TIMER.reset()
+            # swallow the emulation's per-second IoU tables: the driver
+            # records only a bounded stdout tail, and r04's ~175 s of
+            # tables evicted three metric lines from BENCH_r04.json
+            t0 = time.perf_counter()
+            with open(os.devnull, "w") as sink, \
+                    contextlib.redirect_stdout(sink):
+                run_experiment(cfg)
+            wall = time.perf_counter() - t0
+            phases = {k: round(v, 3)
+                      for k, v in sorted(GLOBAL_TIMER.totals.items())
+                      if k != "experiment"}
+            return wall, phases
+
+        # cold: first in-process run — carries the one-time executable
+        # load over the tunnel.  warm: same experiment re-run with every
+        # program resident — the orchestration-regression signal.
+        wall_cold, phases_cold = one_run("cold")
+        _emit({
+            "metric": "e2e_realtime_factor",
+            "value": round(seconds / wall_cold, 4),
+            "unit": "stream_s/wall_s",
+            "vs_baseline": round(seconds / wall_cold, 4),
+            "path": "early@256x512 iter200 coord@10% period10 "
+                    "(server+client serialized; cold: incl. one-time "
+                    "executable loads)",
+            "wall_s": round(wall_cold, 2),
+            "phases_s": phases_cold,
+        })
+        wall_warm, phases_warm = one_run("warm")
+        _emit({
+            "metric": "e2e_realtime_factor_warm",
+            "value": round(seconds / wall_warm, 4),
+            "unit": "stream_s/wall_s",
+            "vs_baseline": round(seconds / wall_warm, 4),
+            "path": "early@256x512 iter200 coord@10% period10 "
+                    "(server+client serialized; warm: executables "
+                    "resident)",
+            "wall_s": round(wall_warm, 2),
+            "phases_s": phases_warm,
+        })
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    rtf = seconds / wall
-    phases = {k: round(v, 3) for k, v in sorted(GLOBAL_TIMER.totals.items())
-              if k != "experiment"}
-    print(json.dumps({
-        "metric": "e2e_realtime_factor",
-        "value": round(rtf, 4),
-        "unit": "stream_s/wall_s",
-        "vs_baseline": round(rtf, 4),  # 1.0 == the serialized loop keeps up
-        "path": "early@256x512 iter200 coord@10% period10 (server+client serialized)",
-        "wall_s": round(wall, 2),
-        "phases_s": phases,
-    }), flush=True)
 
 
 # A wedged axon tunnel hangs the FIRST device op forever (no exception —
@@ -347,22 +403,38 @@ def _watchdog(budget_s: float) -> threading.Timer:
 def main():
     dog = _watchdog(_WATCHDOG_S)
     failures = 0
+    client_rec = None
     # the driver's BENCH_r{N}.json parses the LAST JSON line as the
-    # round-over-round headline series (student f/s in r01/r02) — keep
-    # bench_client last so the series stays comparable across rounds
+    # round-over-round headline series (student f/s in r01/r02) — the
+    # client record is HELD and printed last, after the summary
     for fn in (bench_round, bench_parity_labeling, bench_teacher_labeling,
                bench_e2e_loop, bench_client):
         print("bench: running %s" % fn.__name__, file=sys.stderr)
         sys.stderr.flush()
         try:
-            fn()
+            out = fn()
+            if fn is bench_client:
+                client_rec = out
         except Exception:
             failures += 1
             traceback.print_exc(file=sys.stderr)
             print("bench: %s failed" % fn.__name__, file=sys.stderr)
     dog.cancel()
-    # ANY missing metric is a failure: the whole point of the 3-line bench
-    # is that a regression in any north-star axis is driver-visible, and a
+    # loss-proof record: one compact line re-stating every metric, emitted
+    # right before the final client line so even an aggressively truncated
+    # stdout tail still carries all axes (VERDICT r4 weak #2)
+    print(json.dumps({
+        "metric": "bench_summary",
+        "n_metrics": len(RECORDS),
+        "failures": failures,
+        "metrics": {r["metric"]: {"value": r["value"],
+                                  "vs_baseline": r["vs_baseline"]}
+                    for r in RECORDS},
+    }), flush=True)
+    if client_rec is not None:
+        print(json.dumps(client_rec), flush=True)
+    # ANY missing metric is a failure: the whole point of the bench is
+    # that a regression in any north-star axis is driver-visible, and a
     # crashed metric prints no JSON line — exit 0 would record that as a
     # green run with an axis silently absent
     return 1 if failures else 0

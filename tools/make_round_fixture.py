@@ -70,10 +70,30 @@ init stats saturates ReLU6 across most of the network (measured: 64% of
 coordinates exactly-zero gradient, selection cut 0.0) and would gate a
 mostly-dead regime.
 
+Functional full-round variant (``--functional``, requires ``--bn_pin``):
+the per-coordinate story above tops out at ~12 iterations (bounded drift
+grows ~6·lr by it12) but the reference round is 200 iterations
+(run.py:32 ``iter`` default, consumed at run.py:312).  What matters after
+a full round is not per-coordinate equality — it is the DEPLOYED MODEL.
+This mode runs ONLY the reference's actual round protocol
+(frozen-slot warmup → restore_initial → coord_desc_auto selection →
+masked iterations) for the FULL reference iteration count and batch size,
+and records what a functional gate needs: the selection mask (+margins),
+the per-iteration loss trace, the final parameters, and the pinned
+graph's argmax PREDICTIONS on a held-out frame set at both the initial
+and the final parameters.  ``tests/test_parity_round_functional.py``
+replays the identical protocol in JAX and gates deployed-prediction pixel
+agreement, |ΔmIoU| under the reference convention, and selection-mask
+agreement — the "trains the same model" gate, at the horizon where
+per-coordinate gates are provably meaningless.
+
 Usage:
     python tools/make_round_fixture.py --height 64 --out tests/fixtures/round_parity_h64.npz
     python tools/make_round_fixture.py --height 64 --iters 12 --bn_pin \
         --out tests/fixtures/round_parity_pinned_h64.npz
+    python tools/make_round_fixture.py --height 64 --iters 200 --batch 10 \
+        --bn_pin --functional --warm_iters 25 \
+        --out tests/fixtures/round_functional_pinned_h64.npz
 """
 
 from __future__ import annotations
@@ -221,8 +241,22 @@ def main():
                     help="chaos-free variant: pin every BN to its moving "
                          "statistics and freeze them (meta surgery); "
                          "records long-horizon param + Adam-slot snapshots")
+    ap.add_argument("--functional", action="store_true",
+                    help="full-round functional fixture: ONLY the auto "
+                         "(coord_desc_auto) round at the full --iters, plus "
+                         "held-out deployed predictions (requires --bn_pin)")
+    ap.add_argument("--warm_iters", type=int, default=0,
+                    help="frozen-slot warmup length (functional mode; "
+                         "0 = same as --iters)")
+    ap.add_argument("--holdout", type=int, default=8,
+                    help="held-out frames for the deployed-prediction "
+                         "record (functional mode)")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
+    if args.functional and not args.bn_pin:
+        ap.error("--functional requires --bn_pin (unpinned BN chaos makes "
+                 "even the functional comparison meaningless at 200 iters)")
+    warm_iters = args.warm_iters or args.iters
 
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
     import tensorflow.compat.v1 as tf1
@@ -260,9 +294,18 @@ def main():
     pool_labels = rng.randint(0, 19, (args.pool, h, w)).astype(np.uint8)
     ignore = rng.rand(args.pool, h, w) < 0.05  # exercise the weights=0 path
     pool_labels[ignore] = 255
-    idx_seq = rng.randint(0, args.pool, (args.iters, args.batch))
+    idx_seq = rng.randint(0, args.pool, (warm_iters, args.batch))
     idx_seq2 = rng.randint(0, args.pool, (args.iters, args.batch))
     fixed_mask_rng = np.random.RandomState(args.seed + 1)
+    if args.functional:
+        # held-out set for the deployed-prediction gate: same distribution
+        # as the training pool but never trained on (drawn from a separate
+        # stream so pool/idx draws stay identical across modes)
+        ho_rng = np.random.RandomState(args.seed + 2)
+        holdout_frames = ho_rng.randint(
+            0, 256, (args.holdout, h, w, 3)).astype(np.uint8)
+        holdout_labels = ho_rng.randint(
+            0, 19, (args.holdout, h, w)).astype(np.uint8)
 
     if args.bn_pin:
         # Moving-stat warmup (in the UNPINNED graph): at a seeded init the
@@ -332,6 +375,9 @@ def main():
         "lr": np.float32(args.lr), "iters": np.int32(args.iters),
         "coord_frac": np.float32(args.coord_frac),
         "bn_pin": np.bool_(args.bn_pin),
+        "functional": np.bool_(args.functional),
+        "warm_iters": np.int32(warm_iters),
+        "batch": np.int32(args.batch),
     }
     for n in track:
         out["init:" + n[:-2]] = init_values[n]
@@ -406,21 +452,23 @@ def main():
     # slots-advance-under-mask semantics.  The cold t=1 step is still
     # gated — by the dedicated 1-iteration "cold1" record below.
 
-    # ---- unmasked graph: cold 1-iter gate on the reference `train` op ---
-    (student, sess, reset, restore_initial, snapshot, slot_snapshot,
-     feed_batch) = build(masked=False)
+    if not args.functional:
+        # ---- unmasked graph: cold 1-iter gate on the reference `train` op
+        (student, sess, reset, restore_initial, snapshot, slot_snapshot,
+         feed_batch) = build(masked=False)
 
-    def run_full(i, seq=idx_seq):
-        feed_batch(i, seq)
-        return sess.run({"t": student["train"], "loss": student["loss"]},
-                        {student["learning_rate"]: args.lr})["loss"]
+        def run_full(i, seq=idx_seq):
+            feed_batch(i, seq)
+            return sess.run({"t": student["train"],
+                             "loss": student["loss"]},
+                            {student["learning_rate"]: args.lr})["loss"]
 
-    reset()
-    out["cold1_losses"] = np.asarray([run_full(0)], np.float32)
-    for n, v in snapshot().items():
-        out["cold1_final:" + n[:-2]] = v
-    print("cold1 loss:", out["cold1_losses"])
-    sess.close()
+        reset()
+        out["cold1_losses"] = np.asarray([run_full(0)], np.float32)
+        for n, v in snapshot().items():
+            out["cold1_final:" + n[:-2]] = v
+        print("cold1 loss:", out["cold1_losses"])
+        sess.close()
 
     # ---- masked graph: all recorded runs (train_coord(ones) ≡ train —
     # asserted bitwise below) ----
@@ -448,26 +496,49 @@ def main():
             combine_ops[k] = tf1.assign(emv_vars[k], pl)
             combine_input[k] = pl
 
-    # the masked graph's train_coord(all-ones) is numerically the
-    # unmasked graph's train: assert the cross-check bitwise
-    reset()
-    cross = run_coord(ones, 0)
-    assert cross == out["cold1_losses"][0], (cross, out["cold1_losses"])
+    if not args.functional:
+        # the masked graph's train_coord(all-ones) is numerically the
+        # unmasked graph's train: assert the cross-check bitwise
+        reset()
+        cross = run_coord(ones, 0)
+        assert cross == out["cold1_losses"][0], (cross, out["cold1_losses"])
 
     def warmup():
         """Frozen-params slot warmup + moving-stat reset; returns the
         loss trace (params never move, so it depends only on the batch
         sequence — a tight cross-implementation signal)."""
         reset()
-        wl = [run_coord(zeros, i) for i in range(args.iters)]
+        wl = [run_coord(zeros, i) for i in range(warm_iters)]
         # params are already bitwise-initial; this resets the BN moving
         # stats the warmup advanced.  Slots/beta-powers stay warm.
         restore_initial()
         return np.asarray(wl, np.float32)
 
+    def predict(frames):
+        """Deployed-model argmax on a frame stack (pinned graph: BN uses
+        the frozen moving statistics — the inference semantics).  The
+        input-buffer variables are emulation plumbing (NON_MODEL), so
+        feeding them never perturbs the recorded trajectories."""
+        preds = []
+        for s in range(0, len(frames), args.batch):
+            fr = frames[s:s + args.batch].astype(np.float32)
+            lb = np.zeros(fr.shape[:3], np.float32)
+            sess.run(student["fill_input_buffer"],
+                     {student["features_input"]: fr,
+                      student["labels_input"]: lb})
+            preds.append(sess.run(student["predictions"]))
+        return np.concatenate(preds).astype(np.int32)
+
     # ---- run "auto": warmup -> coord_desc_auto on idx_seq2 ----
+    if args.functional:
+        reset()
+        out["pred_init"] = predict(holdout_frames)
+        print("pred_init: %d held-out frames, class histogram %s"
+              % (len(holdout_frames),
+                 np.bincount(out["pred_init"].ravel(), minlength=19)[:8]),
+              flush=True)
     out["warm_losses"] = warmup()
-    print("warm (frozen-params) losses:", out["warm_losses"])
+    print("warm (frozen-params) losses:", out["warm_losses"], flush=True)
 
     before = snapshot()
     losses = [run_coord(ones, 0, idx_seq2)]
@@ -487,6 +558,9 @@ def main():
         out["auto_postsel:" + n[:-2]] = v
     for i in range(1, args.iters):
         losses.append(run_coord(auto_mask, i, idx_seq2))
+        if args.functional and i % 20 == 0:
+            print("auto iter %d/%d loss %.5f" % (i, args.iters, losses[-1]),
+                  flush=True)
     if args.bn_pin:
         for n, v in snapshot().items():
             out["auto_final:" + n[:-2]] = v
@@ -499,6 +573,29 @@ def main():
         out["auto_margin:" + k[:-2]] = (
             np.abs(after[k] - before[k]) - cut).astype(np.float32)
     print("auto losses:", losses)
+
+    if args.functional:
+        # deployed-model record: predictions of the trained (pinned)
+        # graph on the held-out frames + the frozen-stat sanity check
+        out["holdout_frames"] = holdout_frames
+        out["holdout_labels"] = holdout_labels
+        out["pred_final"] = predict(holdout_frames)
+        flip = float((out["pred_final"] != out["pred_init"]).mean())
+        print("pred_final: %.1f%% of held-out pixels changed class during "
+              "the round" % (100 * flip), flush=True)
+        snap = snapshot()
+        for n in track:
+            if "moving_" in n:
+                assert np.array_equal(snap[n], init_values[n]), \
+                    "pinned BN stat moved: " + n
+        sess.close()
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        np.savez_compressed(args.out, **out)
+        shutil.rmtree(tmp, ignore_errors=True)
+        print("wrote %s (%.1f MB), %d tracked vars, %d entire_model_vars"
+              % (args.out, os.path.getsize(args.out) / 1e6, len(track),
+                 len(emv)))
+        return
 
     # ---- run "full": warmup -> train_coord(ones) ≡ train on idx_seq2 ----
     wl = warmup()
