@@ -83,19 +83,29 @@ def delta_order(strategy: str, present=None) -> List[str]:
 
 def pack_payload(masks: Sequence[np.ndarray],
                  values: Sequence[np.ndarray],
-                 wire_dtype: str = "float16") -> bytes:
+                 wire_dtype: str = "float16",
+                 base: Optional[Sequence[np.ndarray]] = None) -> bytes:
     """Raw (pre-compression) payload from per-var masks + masked params.
 
     wire_dtype "float16" is the reference-compatible format.  "int8" is an
     opt-in extension the reference lacks: per-var symmetric quantization
     (one f32 scale + int8 values per var), halving the values section —
-    downlink bandwidth is AMS's headline cost.  Both ends must agree on
-    the dtype (the live runtime negotiates it in the hello).
+    downlink bandwidth is AMS's headline cost.  "int8d" quantizes
+    ``value - base`` instead of the raw value (``base`` required, in wire
+    order): with restore-mode training every round's delta is relative to
+    the INITIAL checkpoint — which the client holds as its re-basing
+    snapshot — so both ends share the base and the quantization range
+    shrinks from max|weight| to max|param movement| (measured ~20x finer
+    steps on a real round, tools/probe_int8_delta.py / PERFORMANCE.md).
+    Both ends must agree on the dtype (the live runtime negotiates it in
+    the hello).
     """
+    if wire_dtype == "int8d" and base is None:
+        raise ValueError("wire_dtype 'int8d' requires the base snapshot")
     buf = io.BytesIO()
     for m in masks:
         buf.write(np.packbits(np.asarray(m, bool).reshape(-1)).tobytes())
-    for m, v in zip(masks, values):
+    for i, (m, v) in enumerate(zip(masks, values)):
         v = np.asarray(v)
         if v.shape != np.asarray(m).shape:
             # a real wire-integrity check, not a debug assert: under
@@ -109,16 +119,23 @@ def pack_payload(masks: Sequence[np.ndarray],
             # double-round f64 params and change wire bytes vs the
             # reference's direct astype(np.float16) (run.py:330)
             buf.write(picked.astype(np.float16).tobytes())
-        elif wire_dtype == "int8":
+        elif wire_dtype in ("int8", "int8d"):
             picked = picked.astype(np.float32)
+            if wire_dtype == "int8d":
+                b = np.asarray(base[i])
+                if b.shape != v.shape:
+                    raise ValueError("base shape %s != value shape %s"
+                                     % (b.shape, v.shape))
+                picked = picked - b[np.asarray(m, bool)].astype(np.float32)
             maxabs = float(np.max(np.abs(picked))) if picked.size else 0.0
             if not np.isfinite(maxabs):
                 # a NaN/Inf parameter (diverged round) would make the scale
                 # non-finite and silently corrupt the whole payload — the
                 # quantized bytes round-trip to garbage without any error
                 raise ValueError(
-                    "non-finite parameter values in int8 delta "
-                    "(max|v|=%r); refusing to quantize" % maxabs)
+                    "non-finite parameter values in %s delta "
+                    "(max|v|=%r); refusing to quantize"
+                    % (wire_dtype, maxabs))
             scale = maxabs / 127.0
             buf.write(np.float32(scale).tobytes())
             if picked.size:
@@ -174,18 +191,28 @@ def encode_delta(params: Dict[str, np.ndarray],
                  strategy: str = "full_model",
                  use_native: bool = True,
                  wire_dtype: str = "float16",
-                 stats: Optional[Dict[str, np.ndarray]] = None) -> bytes:
+                 stats: Optional[Dict[str, np.ndarray]] = None,
+                 base: Optional[Dict[str, np.ndarray]] = None) -> bytes:
     """Gzip'd downlink payload for one training round.
 
     params: post-round parameter dict (flat TF names).
     masks: bool dict over trainable params (None -> all-ones, full_model).
-    wire_dtype: "float16" (reference format) or "int8" (see pack_payload).
+    wire_dtype: "float16" (reference format), "int8", or "int8d"
+        (delta-vs-base quantization; requires ``base`` — see pack_payload).
     stats: optional BN moving statistics to append as the stats annex
         (see STATS_MAGIC above) — without them a coord-descent delta
         cannot reconstruct the deployed model.  None (default) keeps the
         payload byte-identical to the reference wire.
+    base: the initial-checkpoint snapshot both ends hold (int8d only).
     """
     order = delta_order(strategy, present=params)
+    if wire_dtype == "int8d":
+        if base is None:
+            raise ValueError("wire_dtype 'int8d' requires the base "
+                             "snapshot")
+        base_list = [np.asarray(base[n]) for n in order]
+    else:
+        base_list = None
     mask_list, value_list = [], []
     for name in order:
         v = np.asarray(params[name])
@@ -214,7 +241,8 @@ def encode_delta(params: Dict[str, np.ndarray],
                                                     tail=tail)
         except Exception as e:
             _warn_native_fallback(e)
-    raw = pack_payload(mask_list, value_list, wire_dtype=wire_dtype) + tail
+    raw = pack_payload(mask_list, value_list, wire_dtype=wire_dtype,
+                       base=base_list) + tail
     if use_native:
         try:
             from ams_tpu.native import codec as native_codec
@@ -233,14 +261,20 @@ def decode_delta(blob: bytes,
                  shapes: Dict[str, Tuple[int, ...]],
                  strategy: str = "full_model",
                  wire_dtype: str = "float16",
+                 base: Optional[Dict[str, np.ndarray]] = None,
                  ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Inverse of encode_delta -> (masks, sparse values per var).
 
     Returns masks and, for each var, the masked values (fp16, or
-    dequantized f32 for the int8 wire) scattered into a dense array
-    (unmasked entries are 0); use ``apply_delta`` to overlay onto a
-    parameter dict.
+    dequantized f32 for the int8/int8d wires) scattered into a dense
+    array (unmasked entries are 0); use ``apply_delta`` to overlay onto a
+    parameter dict.  For "int8d" the wire carries value-minus-base, so
+    ``base`` (the client's initial-checkpoint snapshot) is required and
+    the returned values are already re-absolutized (base + delta) —
+    apply_delta works unchanged.
     """
+    if wire_dtype == "int8d" and base is None:
+        raise ValueError("wire_dtype 'int8d' requires the base snapshot")
     raw = gzip.decompress(blob)
     order = delta_order(strategy, present=shapes)
     off = 0
@@ -260,13 +294,19 @@ def decode_delta(blob: bytes,
             vals = np.frombuffer(raw, np.float16, count=cnt, offset=off)
             off += cnt * 2
             dense = np.zeros(m.shape, np.float16)
-        elif wire_dtype == "int8":
+        elif wire_dtype in ("int8", "int8d"):
             scale = float(np.frombuffer(raw, np.float32, count=1,
                                         offset=off)[0])
             off += 4
             q = np.frombuffer(raw, np.int8, count=cnt, offset=off)
             off += cnt
             vals = q.astype(np.float32) * scale
+            if wire_dtype == "int8d":
+                b = np.asarray(base[name])
+                if b.shape != tuple(shape):
+                    raise ValueError("base shape %s != wire shape %s for %s"
+                                     % (b.shape, shape, name))
+                vals = b[m].astype(np.float32) + vals
             dense = np.zeros(m.shape, np.float32)
         else:
             raise ValueError("unknown wire_dtype %r" % wire_dtype)

@@ -156,6 +156,76 @@ def test_int8_wire_roundtrip():
         np.testing.assert_array_equal(out[n][inv], params[n][inv])
 
 
+def test_int8d_wire_roundtrip_and_precision():
+    """int8d (delta-vs-initial): quantizes value-minus-base, so the
+    reconstruction error is bounded by half of max|MOVEMENT|/127 — far
+    finer than int8's max|WEIGHT|/127 when the round moves params a
+    little (the production regime).  Same payload size as int8."""
+    rng = np.random.RandomState(11)
+    shapes = {n: (32, 7) for n in TRAINABLE_ORDER[:5]}
+    base = {n: rng.randn(*s).astype(np.float32)
+            for n, s in shapes.items()}
+    # small movements on top of O(1) weights: int8 steps ~1e-2, int8d ~1e-4
+    params = {n: base[n] + (rng.randn(*s) * 0.01).astype(np.float32)
+              for n, s in shapes.items()}
+    masks = {n: rng.rand(*s) > 0.5 for n, s in shapes.items()}
+    blob_d = encode_delta(params, masks, strategy="coord_desc_auto",
+                          wire_dtype="int8d", base=base)
+    blob_8 = encode_delta(params, masks, strategy="coord_desc_auto",
+                          wire_dtype="int8")
+    md, vd = decode_delta(blob_d, shapes, strategy="coord_desc_auto",
+                          wire_dtype="int8d", base=base)
+    m8, v8 = decode_delta(blob_8, shapes, strategy="coord_desc_auto",
+                          wire_dtype="int8")
+    worst_d = worst_8 = 0.0
+    for n in shapes:
+        np.testing.assert_array_equal(md[n], masks[n])
+        picked = params[n][masks[n]]
+        step_d = np.abs(picked - base[n][masks[n]]).max() / 127.0
+        err_d = np.abs(vd[n][masks[n]] - picked)
+        assert err_d.max() <= step_d / 2 + 1e-7, n
+        worst_d = max(worst_d, float(err_d.max()))
+        worst_8 = max(worst_8, float(np.abs(v8[n][masks[n]] - picked)
+                                     .max()))
+    # the whole point: at least 10x finer reconstruction on this regime
+    assert worst_d < worst_8 / 10, (worst_d, worst_8)
+    # same wire layout, so ~same size (values section byte-identical size)
+    assert abs(len(blob_d) - len(blob_8)) < 0.2 * len(blob_8)
+    # applying overlays re-absolutized values onto the client's base
+    out = apply_delta(base, md, vd)
+    for n in shapes:
+        inv = ~masks[n]
+        np.testing.assert_array_equal(out[n][inv], base[n][inv])
+        assert np.abs(out[n][masks[n]]
+                      - params[n][masks[n]]).max() < 1e-3
+
+
+def test_int8d_requires_base():
+    shapes = {TRAINABLE_ORDER[0]: (4, 4)}
+    params = {TRAINABLE_ORDER[0]: np.ones((4, 4), np.float32)}
+    masks = {TRAINABLE_ORDER[0]: np.ones((4, 4), bool)}
+    with pytest.raises(ValueError, match="base"):
+        encode_delta(params, masks, strategy="coord_desc_auto",
+                     wire_dtype="int8d")
+    blob = encode_delta(params, masks, strategy="coord_desc_auto",
+                        wire_dtype="int8d", base=params)
+    with pytest.raises(ValueError, match="base"):
+        decode_delta(blob, shapes, strategy="coord_desc_auto",
+                     wire_dtype="int8d")
+    # base shape mismatch fails loudly on both ends
+    bad = {TRAINABLE_ORDER[0]: np.ones((4, 3), np.float32)}
+    with pytest.raises(ValueError, match="shape"):
+        encode_delta(params, masks, strategy="coord_desc_auto",
+                     wire_dtype="int8d", base=bad)
+    # decoding against wrong shapes fails loudly too — the wire-integrity
+    # check ("trailing bytes") may fire before the base-shape check
+    # depending on how the mis-sized masks slice the stream
+    with pytest.raises(ValueError):
+        decode_delta(blob, {TRAINABLE_ORDER[0]: (4, 3)},
+                     strategy="coord_desc_auto", wire_dtype="int8d",
+                     base=bad)
+
+
 def test_int8_wire_empty_and_zero_scale():
     shapes = {TRAINABLE_ORDER[0]: (4, 4), TRAINABLE_ORDER[1]: (3,)}
     params = {n: np.zeros(s, np.float32) for n, s in shapes.items()}

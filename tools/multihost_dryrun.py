@@ -12,7 +12,7 @@ processes and gates them against the single-process 8-device run:
   process forced to 4 virtual CPU devices, global 8-device mesh built by
   ``init_multi_host`` + ``make_mesh``), compares losses and per-leaf
   parameter fingerprints, and merges a ``multihost`` record into
-  ``MULTICHIP_TIMING.json``.
+  ``MULTICHIP_TIMING_latest.json`` (untracked; snapshot-committed per round).
 - ``--role single`` / ``--role worker``: the subprocess payloads.
 
 Both payloads run the same two programs the driver dryrun exercises
@@ -191,9 +191,13 @@ def run_payload(mesh, cfg: dict) -> dict:
     result["fp_dp_sp"] = fingerprint(p1)
 
     # --- multi-video: V=n_devices independent students via shard_map ------
+    # coord_desc_auto (not full_model): the wire-complete gates below need
+    # each video's SELECTION MASK and its delta payload — the things the
+    # DCN boundary actually ships (VERDICT r4 weak #5)
     spec_mv = DistillSpec(iters=iters, batch_size=2, num_classes=19,
                           class_indices=(0, 1, 2, 10, 11, 13),
-                          strategy="full_model", compute_dtype="bfloat16")
+                          strategy="coord_desc_auto", coord_frac=0.1,
+                          compute_dtype="bfloat16")
     V = n_devices
     videos = [init_student_params(jax.random.PRNGKey(i)) for i in range(V)]
     params_V = host(stack_videos(videos))
@@ -214,6 +218,40 @@ def run_payload(mesh, cfg: dict) -> dict:
     result["timings_s"]["multi_video_%dx%d" % (H, W)] = dt
     result["losses_mv"] = np.asarray(replicate(losses_V)).tolist()
     result["fp_mv"] = fingerprint(pV)
+
+    # --- wire-complete records (VERDICT r4 weak #5): the DCN story is not
+    # just "the params agree" — it is "the BYTES the round ships agree".
+    # Materialize the selection masks and encode video 0's actual downlink
+    # payload (coord wire + BN stats annex, exactly what the live server
+    # ships); the orchestrator gates them across process topologies and
+    # decodes+applies the 2-process payload against the single-process
+    # model.  Saved to an aux npz next to --out (masks/params are too big
+    # for the JSON record).
+    if cfg.get("out"):
+        from ams_tpu.stream.codec import encode_delta
+
+        mask_dpsp = {k: np.asarray(v) for k, v in replicate(m1).items()}
+        mV_host = replicate(mV)
+        pV_host = replicate(pV)
+        final_v0 = {k: np.asarray(v[0]) for k, v in pV_host.items()}
+        mask_v0 = {k: np.asarray(v[0]) for k, v in mV_host.items()}
+        init_v0 = {k: np.asarray(v) for k, v in
+                   init_student_params(jax.random.PRNGKey(0)).items()}
+        stats = {k: v for k, v in final_v0.items() if "moving_" in k}
+        payload = encode_delta(final_v0, mask_v0,
+                               strategy="coord_desc_auto", stats=stats)
+        result["payload_mv_v0_bytes"] = len(payload)
+        aux = {"payload_mv_v0": np.frombuffer(payload, np.uint8)}
+        for k, v in mask_dpsp.items():
+            aux["dpsp_mask:" + k] = v
+        for k, v in mask_v0.items():
+            aux["mv_mask_v0:" + k] = v
+        for k, v in final_v0.items():
+            aux["mv_final_v0:" + k] = v
+        for k, v in init_v0.items():
+            aux["mv_init_v0:" + k] = v
+        if jax.process_index() == 0:
+            np.savez_compressed(cfg["out"] + ".aux.npz", **aux)
     return result
 
 
@@ -328,6 +366,103 @@ def compare(single: dict, multi: dict, iters: int, lr: float = None) -> dict:
     return report
 
 
+def compare_wire(single_aux: str, multi_aux: str, report: dict) -> None:
+    """Wire-complete gates across the process boundary (VERDICT r4 #6):
+
+    - mv selection mask: the multi-video round is collective-free, so each
+      video's coord_desc_auto mask must be BITWISE equal across process
+      topologies;
+    - mv delta payload: the actual downlink bytes (coord wire + stats
+      annex) encoded from the 2-process run must byte-equal the
+      single-process run's — the strongest possible DCN wire statement;
+    - apply: the 2-process payload, decoded and applied to the initial
+      params (the edge client's move), must reconstruct the
+      single-process deployed model — masked coords to fp16 wire
+      precision exactly, unmasked coords bitwise untouched, BN stats from
+      the annex;
+    - dp+sp selection mask: cross-process psum reduction order can flip
+      quantile-edge coordinates (same physics as fp_dp_sp above), so it
+      is gated on OVERLAP >= 0.995 with the flip count recorded.
+    """
+    import numpy as np
+
+    from ams_tpu.stream.codec import apply_delta, decode_delta
+
+    with np.load(single_aux) as z:
+        s = {k: z[k] for k in z.files}
+    with np.load(multi_aux) as z:
+        m = {k: z[k] for k in z.files}
+
+    # mv mask: bitwise across topologies
+    mv_keys = [k for k in s if k.startswith("mv_mask_v0:")]
+    assert mv_keys, "aux file carries no mv masks"
+    for k in mv_keys:
+        if not np.array_equal(s[k], m[k]):
+            raise AssertionError("multihost mv selection mask differs: %s"
+                                 % k)
+    sel_frac = float(np.mean([s[k].mean() for k in mv_keys]))
+    report["mask_mv"] = {"bitwise_equal": True, "n_vars": len(mv_keys),
+                         "mean_selected_frac": round(sel_frac, 4)}
+
+    # mv payload: byte equality
+    sp, mp = s["payload_mv_v0"], m["payload_mv_v0"]
+    if not np.array_equal(sp, mp):
+        raise AssertionError(
+            "multihost mv delta payload differs: %d vs %d bytes, equal=%s"
+            % (sp.size, mp.size, np.array_equal(sp[:min(sp.size, mp.size)],
+                                                mp[:min(sp.size, mp.size)])))
+    report["payload_mv"] = {"byte_equal": True, "bytes": int(sp.size)}
+
+    # apply: 2-process payload -> single-process deployed model
+    init = {k[len("mv_init_v0:"):]: s[k] for k in s
+            if k.startswith("mv_init_v0:")}
+    final = {k[len("mv_final_v0:"):]: s[k] for k in s
+             if k.startswith("mv_final_v0:")}
+    shapes = {k: v.shape for k, v in init.items()}
+    masks, values = decode_delta(mp.tobytes(), shapes,
+                                 strategy="coord_desc_auto")
+    applied = apply_delta(init, masks, values)
+    worst = 0.0
+    for k, fv in final.items():
+        av = applied[k]
+        mk = masks.get(k)
+        if mk is None or not mk.any():
+            assert np.array_equal(av, init[k]), k  # untouched
+            continue
+        # masked coords carry fp16 wire rounding; annex stats are dense.
+        # fp16: rel <= 2**-11 ~ 4.9e-4 in the normal range, abs <= 3e-8 in
+        # the subnormal range — bound both.
+        d = np.abs(av[mk].astype(np.float64) - fv[mk].astype(np.float64))
+        bound = np.maximum(6e-4 * np.abs(fv[mk]).astype(np.float64), 1e-7)
+        bad = d > bound
+        if bad.any():
+            raise AssertionError(
+                "applied payload off the deployed model in %s: %d coords, "
+                "worst |d|=%.3e at |ref|=%.3e" % (
+                    k, int(bad.sum()), float(d[bad].max()),
+                    float(np.abs(fv[mk][bad]).max())))
+        worst = max(worst, float((d / np.maximum(np.abs(fv[mk]), 1e-3))
+                                 .max()))
+        unm = ~mk
+        if unm.any() and not np.array_equal(av[unm], init[k][unm]):
+            raise AssertionError("apply touched unmasked coords: %s" % k)
+    report["apply_mv"] = {"worst_rel_vs_deployed": float(round(worst, 8)),
+                          "fp16_bound": 6e-4}
+
+    # dp+sp mask: overlap gate
+    tot = agr = 0
+    for k in [k for k in s if k.startswith("dpsp_mask:")]:
+        a, b = s[k], m[k]
+        tot += a.size
+        agr += int((a == b).sum())
+    overlap = agr / max(tot, 1)
+    report["mask_dp_sp"] = {"overlap": round(overlap, 6),
+                            "flips": int(tot - agr), "coords": int(tot)}
+    if overlap < 0.995:
+        raise AssertionError("dp+sp selection mask overlap %.4f < 0.995"
+                             % overlap)
+
+
 def orchestrate(args) -> dict:
     """Spawn the single-process reference + the 2-process pair; compare."""
     env = dict(os.environ)
@@ -425,6 +560,13 @@ def orchestrate(args) -> dict:
         multi = json.load(f)
     assert multi["process_count"] == args.num_processes, multi
     report = compare(single, multi, iters=args.iters)
+    compare_wire(single_out + ".aux.npz", multi_out + ".aux.npz", report)
+    try:
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        commit = "unknown"
     record = {
         "ok": True,
         "n_processes": args.num_processes,
@@ -436,10 +578,17 @@ def orchestrate(args) -> dict:
         "payload_timings_s": {"single": single["timings_s"],
                               "multiprocess": multi["timings_s"]},
         "gates": report,
+        # provenance stamp: carried forward across single-process health
+        # checks, so the record must say which code state produced it
+        "commit": commit,
+        "run_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print("[multihost] OK: " + json.dumps(record))
     if args.update_timing:
-        path = os.path.join(REPO, "MULTICHIP_TIMING.json")
+        # the untracked latest file (dryrun_multichip reads multihost from
+        # it first); the committed MULTICHIP_TIMING.json is a per-round
+        # snapshot copied deliberately
+        path = os.path.join(REPO, "MULTICHIP_TIMING_latest.json")
         try:
             with open(path) as f:
                 timing = json.load(f)
@@ -474,7 +623,7 @@ def main(argv=None):
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--timeout", type=float, default=3600)
     ap.add_argument("--update_timing", action="store_true",
-                    help="merge the record into MULTICHIP_TIMING.json")
+                    help="merge the record into MULTICHIP_TIMING_latest.json")
     args = ap.parse_args(argv)
     if args.role == "single":
         _role_single(args)
