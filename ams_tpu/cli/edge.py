@@ -41,7 +41,7 @@ def main(argv=None):
     p.add_argument("--sample_fraction", type=float, default=None,
                    help="fraction of a period's frames to sample "
                         "(default: send_period/fps seconds' worth = 1/fps)")
-    p.add_argument("--wire_dtype", choices=["float16", "int8"],
+    p.add_argument("--wire_dtype", choices=["float16", "int8", "int8d"],
                    default="float16",
                    help="delta value encoding: float16 = reference wire "
                         "format; int8 = per-var-quantized (~2x smaller)")

@@ -71,7 +71,7 @@ def build_parser():
                    help="Don't persist per-event resume bundles")
     p.add_argument("--trace_dir", default="",
                    help="Write a JAX profiler trace (view with xprof)")
-    p.add_argument("--wire_dtype", choices=["float16", "int8"],
+    p.add_argument("--wire_dtype", choices=["float16", "int8", "int8d"],
                    default="float16",
                    help="Delta payload values: float16 = reference wire; "
                         "int8 = per-var symmetric quantization (~2x smaller "

@@ -56,9 +56,12 @@ class RunConfig:
     # the deployed model.  False restores byte-identical reference
     # payloads (and the reference's bug).
     wire_dtype: str = "float16"        # delta values section: "float16"
-    # (reference wire, run.py:330) or "int8" (opt-in extension: per-var
+    # (reference wire, run.py:330), "int8" (opt-in extension: per-var
     # symmetric quantization, ~2x smaller payloads — downlink bandwidth is
-    # AMS's headline cost).  Affects the accounted *_bw_downlink bits and
+    # AMS's headline cost) or "int8d" (int8 over value-minus-INITIAL:
+    # ~15% smaller again and ~7x finer reconstruction on a measured round,
+    # tools/probe_int8_delta.py; restore-mode sessions only — both ends
+    # hold the initial snapshot as the quantization base).  Affects the accounted *_bw_downlink bits and
     # the *_mask.dat.gz artifacts; like the reference's fp16 accounting,
     # the emulation's deployed client keeps exact params (a real consumer
     # sees the quantization — exercised in runtime/live.py, which
@@ -66,7 +69,11 @@ class RunConfig:
     trace_dir: str = ""                # JAX profiler trace output (xprof)
 
     def validate(self):
-        assert self.wire_dtype in ("float16", "int8"), self.wire_dtype
+        assert self.wire_dtype in ("float16", "int8", "int8d"), \
+            self.wire_dtype
+        assert not (self.wire_dtype == "int8d" and self.no_restore), \
+            "wire_dtype 'int8d' quantizes value-minus-initial: it " \
+            "requires restore-mode training (drop --no_restore)"
         assert not self.enable_ATR or self.enable_ASR, \
             "ASR must be enabled for ATR to work"
         assert not self.enable_ASR or self.mode == "simple", \

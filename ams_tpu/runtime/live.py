@@ -56,7 +56,7 @@ from ams_tpu.stream.codec import delta_order, encode_delta
 
 _HDR = struct.Struct(">cQ")
 
-_WIRE_DTYPES = ("float16", "int8")
+_WIRE_DTYPES = ("float16", "int8", "int8d")
 _CLIENT_ID_RE = __import__("re").compile(r"[A-Za-z0-9._-]+\Z")
 
 # A frame batch at the largest plausible resolution is tens of MB; anything
@@ -74,6 +74,11 @@ def _hello_error(hello: Dict, checkpoint_dir: Optional[str] = None
     if wd not in _WIRE_DTYPES:
         return "unknown wire_dtype %r (expected one of %s)" % (
             wd, list(_WIRE_DTYPES))
+    if wd == "int8d" and hello.get("no_restore", False):
+        # int8d quantizes value-minus-INITIAL; without restore-mode
+        # training the delta base drifts away from the initial snapshot
+        # and the reconstruction would be silently wrong
+        return "wire_dtype 'int8d' requires a restore-mode session"
     cid = hello.get("client_id")
     if cid is not None and not _CLIENT_ID_RE.match(str(cid)):
         return ("client_id %r is not filesystem-safe "
@@ -523,11 +528,18 @@ class LiveServer:
             stats = None
             if st.strategy != "full_model":
                 stats = st.network.stats_vars()
+            # int8d base: the restore-mode delta is relative to the
+            # session's initial checkpoint (the client's base_initial
+            # snapshot).  initial_vars() is an ~8 MB host copy once per
+            # 10 s round — negligible next to the round itself, and it
+            # stays correct across resume (set_restore_target).
+            base = (st.network.initial_vars()
+                    if st.wire_dtype == "int8d" else None)
             blob = encode_delta(dict(zip(names, st.network.train_params)),
                                 dict(zip(names, st.network.curr_mask)),
                                 strategy=st.strategy,
                                 wire_dtype=st.wire_dtype,
-                                stats=stats)
+                                stats=stats, base=base)
             try:
                 send_msg(conn, b"D", blob)
             except (BrokenPipeError, ConnectionResetError):

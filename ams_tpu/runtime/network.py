@@ -533,8 +533,19 @@ class SemanticNetwork:
         else:
             host = self.get_vars()
         shapes = {k: v.shape for k, v in host.items()}
+        kw = {}
+        if wire_dtype == "int8d":
+            # delta-vs-initial wire: the quantized residual is relative to
+            # the snapshot every restore-mode round restores from, which is
+            # exactly the base_initial overlay target — both ends already
+            # hold it, so the base comes for free (stream/codec.py)
+            if not base_initial:
+                raise ValueError(
+                    "wire_dtype 'int8d' is delta-vs-initial: only valid "
+                    "for restore-mode sessions (base_initial=True)")
+            kw["base"] = host
         masks, values = decode_delta(blob, shapes, strategy=strategy,
-                                     wire_dtype=wire_dtype)
+                                     wire_dtype=wire_dtype, **kw)
         updated = apply_delta(host, masks, values)
         self.params = {k: jnp.asarray(v) for k, v in updated.items()}
 

@@ -270,10 +270,15 @@ def train_model(cfg: RunConfig, train_start: int, train_end: int,
             if cfg.stats_annex and cfg.train_strategy != "full_model":
                 stats = network.stats_vars()
             with GLOBAL_TIMER.span("server/delta_encode"):
+                # int8d: restore-mode deltas are relative to the initial
+                # checkpoint, which is the wire's quantization base
+                # (validated restore-mode-only in RunConfig.validate)
+                base = (network.initial_vars()
+                        if cfg.wire_dtype == "int8d" else None)
                 blob = encode_delta(params_by_name, masks_by_name,
                                     strategy=cfg.train_strategy,
                                     stats=stats,
-                                    wire_dtype=cfg.wire_dtype)
+                                    wire_dtype=cfg.wire_dtype, base=base)
             with open(save_dir + "_mask.dat.gz", "wb") as f:
                 f.write(blob)
             curr_update = len(blob) * 8

@@ -303,9 +303,9 @@ def decode_delta(blob: bytes,
             vals = q.astype(np.float32) * scale
             if wire_dtype == "int8d":
                 b = np.asarray(base[name])
-                if b.shape != tuple(shape):
+                if b.shape != m.shape:
                     raise ValueError("base shape %s != wire shape %s for %s"
-                                     % (b.shape, shape, name))
+                                     % (b.shape, m.shape, name))
                 vals = b[m].astype(np.float32) + vals
             dense = np.zeros(m.shape, np.float32)
         else:

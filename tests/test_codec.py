@@ -200,6 +200,30 @@ def test_int8d_wire_roundtrip_and_precision():
                       - params[n][masks[n]]).max() < 1e-3
 
 
+def test_int8d_heterogeneous_shapes():
+    """Regression: decode_delta's base-shape check compared against a
+    variable left over from the mask loop (the LAST var's shape), so any
+    realistic parameter dict — where shapes differ across vars — raised a
+    spurious shape error on the int8d wire (found by
+    tools/probe_int8_delta.py on the real student)."""
+    rng = np.random.RandomState(5)
+    shapes = dict(zip(TRAINABLE_ORDER[:4],
+                      [(3, 3, 2, 8), (8,), (1, 1, 8, 4), (4,)]))
+    base = {n: rng.randn(*s).astype(np.float32) for n, s in shapes.items()}
+    params = {n: base[n] + (rng.randn(*s) * 0.01).astype(np.float32)
+              for n, s in shapes.items()}
+    masks = {n: rng.rand(*s) > 0.3 for n, s in shapes.items()}
+    blob = encode_delta(params, masks, strategy="coord_desc_auto",
+                        wire_dtype="int8d", base=base)
+    md, vd = decode_delta(blob, shapes, strategy="coord_desc_auto",
+                          wire_dtype="int8d", base=base)
+    out = apply_delta(base, md, vd)
+    for n in shapes:
+        np.testing.assert_array_equal(md[n], masks[n])
+        assert np.abs(out[n][masks[n]]
+                      - params[n][masks[n]]).max() < 1e-3, n
+
+
 def test_int8d_requires_base():
     shapes = {TRAINABLE_ORDER[0]: (4, 4)}
     params = {TRAINABLE_ORDER[0]: np.ones((4, 4), np.float32)}

@@ -89,6 +89,60 @@ def test_live_streaming_loop():
     assert server.rounds_served == deltas
 
 
+def test_live_int8d_wire():
+    """int8d (delta-vs-initial) negotiated in the hello: one full round
+    over the socket, the client's updated parameters land within the
+    int8d quantization envelope of the server's post-round student —
+    finer than raw int8 on the same round — and the restore-mode
+    requirement is enforced at the handshake."""
+    server = LiveServer(_stub_labeler)
+    server.serve_in_background()
+
+    # int8d + no_restore is contradictory (the delta base would drift off
+    # the initial snapshot): rejected at the hello, not mid-stream
+    with pytest.raises(ConnectionError, match="restore-mode"):
+        LiveClient(server.address, exp_num=90, height=32,
+                   strategy="coord_desc_auto", iters=2, batch_size=2,
+                   train_period=1, checkpoint="synthetic",
+                   wire_dtype="int8d", no_restore=True,
+                   client_id="edge8dbad")
+
+    client = LiveClient(server.address, exp_num=90, height=32,
+                        strategy="coord_desc_auto", iters=2, batch_size=2,
+                        train_period=1, checkpoint="synthetic",
+                        wire_dtype="int8d", client_id="edge8d")
+    initial = {k: v.copy() for k, v in client.network.get_vars().items()}
+    rng = np.random.RandomState(7)
+    client.send_samples(
+        rng.randint(0, 256, (2, 32, 64, 3)).astype(np.uint8), 0.0)
+    got = client.poll_deltas(timeout=120.0)
+    got += client.drain(grace=420.0, expect=1, max_quiet=180.0)
+    assert got == 1 and client.deltas_applied == 1
+    client.close()
+    server.join(timeout=60.0)
+
+    cli = client.network.get_vars()
+    srv = server.final_vars["edge8d"]
+    checked = 0
+    for k, sv in srv.items():
+        cv = cli[k]
+        if "moving_" in k:  # stats annex rides dense fp16, as ever
+            np.testing.assert_array_equal(
+                cv, np.asarray(sv).astype(np.float16).astype(cv.dtype))
+            continue
+        changed = cv != initial[k]
+        if changed.any():
+            sv = np.asarray(sv)
+            # per-var symmetric int8 over the MOVEMENT: |err| <= step/2
+            step = np.abs(sv[changed].astype(np.float64)
+                          - initial[k][changed]).max() / 127.0
+            err = np.abs(cv[changed].astype(np.float64)
+                         - sv[changed].astype(np.float64)).max()
+            assert err <= step / 2 + 1e-7, (k, err, step)
+            checked += int(changed.sum())
+    assert checked > 0
+
+
 def test_live_server_resume(tmp_path):
     """A restarted server (same resume_dir) hands a reconnecting client_id
     its preserved session: post-round weights, frame memory, training
