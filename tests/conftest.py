@@ -48,3 +48,75 @@ def student_parity_fixture():
         "labels": data["labels"],
         "logits_train_bn": data["logits_train_bn"],
     }
+
+
+class TrainedRuns:
+    """Session-shared expensive e2e fixtures (VERDICT r4 next #5).
+
+    test_learning_gate.py, test_end_to_end.py (slow lane) and the delta/
+    artifact probes all need "a bands clip + a trained early-mode run" —
+    previously each module built its own (near-identical) clips and ran its
+    own experiments, and on a 1-core host every extra run_experiment pays
+    program compiles plus a 100-iteration round per train event.  This
+    object builds each (clip, experiment) ON DEMAND and caches it for the
+    whole session; the learning-gate margins and the artifact assertions
+    consume the same runs.
+    """
+
+    CUTOFF = 6   # train events at [0 (empty -> skipped), 2, 4, 6]
+    FPS = 5
+    SECONDS = 16
+
+    def __init__(self, root):
+        self.root = root
+        self._clip = None
+        self._runs = {}
+
+    @property
+    def clip(self):
+        """(video_path, gt_dir) — bands style: appearance<->class is a
+        bijection, so online distillation genuinely learns it."""
+        if self._clip is None:
+            from ams_tpu.data.video import write_synthetic_clip
+            vid = str(self.root / "90-drift.mp4")
+            gt = str(self.root / "gt") + "/"
+            write_synthetic_clip(vid, seconds=self.SECONDS, fps=self.FPS,
+                                 size_hw=(64, 128), gt_dir=gt.rstrip("/"),
+                                 style="bands")
+            self._clip = (vid, gt)
+        return self._clip
+
+    def _cfg(self, out, mode, strategy, **kw):
+        from ams_tpu.runtime.config import RunConfig
+        vid, gt = self.clip
+        os.makedirs(out, exist_ok=True)
+        return RunConfig(input_video=vid, gt_video=gt,
+                         student_checkpoint="synthetic", output_dir=out,
+                         memory_len=10, batch_size=4, iter=100, height=64,
+                         lr=1e-3, send_period=2, train_period=2, mode=mode,
+                         early_cutoff_time=self.CUTOFF,
+                         train_strategy=strategy, coord_fraction=0.1, **kw)
+
+    def run(self, key):
+        """-> (RunConfig, output_dir) for a named experiment, running it
+        the first time it is asked for."""
+        if key not in self._runs:
+            from ams_tpu.runtime.modes import run_experiment
+            mode, strategy, kw = {
+                "pretrained": ("pretrained", "full_model", {}),
+                "full_model": ("early", "full_model", {}),
+                "coord_desc_auto": ("early", "coord_desc_auto",
+                                    {"fold_deploy": False}),
+                "coord_int8": ("early", "coord_desc_auto",
+                               {"fold_deploy": False, "wire_dtype": "int8"}),
+            }[key]
+            out = str(self.root / ("run_" + key)) + "/"
+            cfg = self._cfg(out, mode, strategy, **kw)
+            run_experiment(cfg)
+            self._runs[key] = (cfg, out)
+        return self._runs[key]
+
+
+@pytest.fixture(scope="session")
+def trained_runs_session(tmp_path_factory):
+    return TrainedRuns(tmp_path_factory.mktemp("ams_e2e_shared"))

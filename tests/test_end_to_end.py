@@ -1,5 +1,12 @@
 """End-to-end AMS loop on a synthetic clip: server training emulation,
-delta encoding, client inference, result artifacts, and mode dispatch."""
+delta encoding, client inference, result artifacts, and mode dispatch.
+
+The slow-lane tests assert on the SESSION-SHARED trained runs
+(conftest.TrainedRuns — the same experiments the learning gate scores), so
+the full lane trains each configuration once instead of per-module.  The
+default-lane tests keep their own tiny clip + 3-iteration runs so `-m 'not
+slow'` stays fast.
+"""
 
 import glob
 import os
@@ -10,6 +17,8 @@ import pytest
 from ams_tpu.data.video import write_synthetic_clip
 from ams_tpu.runtime.config import RunConfig, get_save_dir
 from ams_tpu.runtime.modes import run_experiment
+
+FULL_BITS = 2.8e6 * 16  # full-model fp16 payload scale for coord bounds
 
 
 @pytest.fixture(scope="module")
@@ -32,24 +41,23 @@ def _cfg(vid, gt, out, **kw):
 
 
 @pytest.mark.slow
-def test_early_mode_full_loop(synthetic_video):
-    vid, gt, out = synthetic_video
-    cfg = _cfg(vid, gt, out)
-    run_experiment(cfg)
+def test_early_mode_full_loop(trained_runs_session):
+    runs = trained_runs_session
+    cfg, out = runs.run("full_model")
 
-    label = "early4_f2"
+    label = "early%d_f%d" % (runs.CUTOFF, cfg.send_period)
     results = get_save_dir(cfg, label + "_results")
     for suffix in ("_loss.npy", "_mioucats.npy", "_mious.npy",
                    "_mioumems.npy", "_bw_uplink.npy", "_bw_downlink.npy",
                    "_update.txt", "_model_update_times.npy"):
         assert os.path.exists(results + suffix), suffix
 
-    # 8 s at 5 fps -> 40 per-frame records on the client
+    # one per-frame record for every clip frame on the client
     mious = np.load(results + "_mious.npy")
-    assert mious.shape == (40,)
+    assert mious.shape == (runs.SECONDS * runs.FPS,)
     assert np.isfinite(mious[np.isfinite(mious)]).all()
 
-    # two model deployments (t=0 and t=4) were saved, and a delta shipped
+    # model deployments were saved, and a delta shipped
     assert glob.glob(os.path.join(out, "*_final.npz"))
     deltas = glob.glob(os.path.join(out, "*_mask.dat.gz"))
     assert deltas
@@ -70,22 +78,19 @@ def test_simple_mode_artifacts(synthetic_video):
 
 
 @pytest.mark.slow
-def test_coord_desc_auto_loop(synthetic_video):
-    vid, gt, out = synthetic_video
-    cfg = _cfg(vid, gt, out, train_strategy="coord_desc_auto",
-               coord_fraction=0.1)
-    run_experiment(cfg)
-    label = "early4_f2"
+def test_coord_desc_auto_loop(trained_runs_session):
+    runs = trained_runs_session
+    cfg, _out = runs.run("coord_desc_auto")
+    label = "early%d_f%d" % (runs.CUTOFF, cfg.send_period)
     results = get_save_dir(cfg, label + "_results")
     down = np.load(results + "_bw_downlink.npy")
     # coord-descent payload must be far smaller than the full-model payload
     # (10% of params at fp16 + bitmask, all gzip'd)
-    full_bits = 2.8e6 * 16
-    assert down[-1] < 0.35 * full_bits
+    assert down[-1] < 0.35 * FULL_BITS
 
 
 @pytest.mark.slow
-def test_int8_wire_emulation(synthetic_video, tmp_path):
+def test_int8_wire_emulation(trained_runs_session):
     """Opt-in int8 delta wire in the EMULATION (cfg.wire_dtype): the
     accounted downlink shrinks vs the fp16 coord payload, and the shipped
     artifact blob decodes with the int8 wire to the deployed parameters
@@ -95,18 +100,15 @@ def test_int8_wire_emulation(synthetic_video, tmp_path):
     from ams_tpu.models.mobilenetv2_deeplab import init_student_params
     from ams_tpu.stream.codec import decode_delta
 
-    vid, gt, _ = synthetic_video
-    out = str(tmp_path / "int8") + "/"
-    cfg = _cfg(vid, gt, out, train_strategy="coord_desc_auto",
-               coord_fraction=0.1, wire_dtype="int8", fold_deploy=False)
-    run_experiment(cfg)
+    runs = trained_runs_session
+    cfg, out = runs.run("coord_int8")
 
-    results = get_save_dir(cfg, "early4_f2_results")
+    label = "early%d_f%d" % (runs.CUTOFF, cfg.send_period)
+    results = get_save_dir(cfg, label + "_results")
     down = np.load(results + "_bw_downlink.npy")
     # fp16 coord payload lands under 0.35x full (test_coord_desc_auto_loop);
     # int8 halves the values section (bitmask + gzip overhead remain)
-    full_bits = 2.8e6 * 16
-    assert down[-1] < 0.25 * full_bits, down
+    assert down[-1] < 0.25 * FULL_BITS, down
 
     # decode the last shipped blob against the last deployed snapshot
     blob_path = sorted(glob.glob(os.path.join(out, "*_mask.dat.gz")))[-1]

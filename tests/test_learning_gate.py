@@ -17,6 +17,10 @@ init is near-random); trained-window mIoU ~0.46 for full_model and ~0.27
 for coord_desc_auto@10% (training 10% of the params from a synthetic init
 legitimately learns less).  The asserted margins (+0.2 / +0.1) are
 roughly half the observed gains.
+
+The clip + trained experiments are the SESSION-SHARED fixtures
+(conftest.TrainedRuns): test_end_to_end.py's slow artifact gates consume
+the same runs instead of training their own.
 """
 
 import glob
@@ -25,88 +29,36 @@ import os
 import numpy as np
 import pytest
 
-from ams_tpu.data.video import write_synthetic_clip
-from ams_tpu.runtime.config import RunConfig, get_save_dir
-from ams_tpu.runtime.modes import run_experiment
+from ams_tpu.runtime.config import get_save_dir
 
 pytestmark = pytest.mark.slow
 
-CUTOFF = 6          # train events at [0 (empty, skipped), 6]
-FPS = 5
-SECONDS = 16
 # required trained-over-pretrained mIoU improvement, per strategy
 MARGIN = {"full_model": 0.2, "coord_desc_auto": 0.1}
 
 
-@pytest.fixture(scope="module")
-def drift_clip(tmp_path_factory):
-    root = tmp_path_factory.mktemp("ams_learn")
-    vid = str(root / "90-drift.mp4")
-    gt = str(root / "gt") + "/"
-    write_synthetic_clip(vid, seconds=SECONDS, fps=FPS, size_hw=(64, 128),
-                         gt_dir=gt.rstrip("/"), style="bands")
-    return vid, gt, root
-
-
-def _run(vid, gt, out, mode, strategy, **kw):
-    os.makedirs(out, exist_ok=True)
-    cfg = RunConfig(input_video=vid, gt_video=gt,
-                    student_checkpoint="synthetic", output_dir=out,
-                    memory_len=10, batch_size=4, iter=100, height=64,
-                    lr=1e-3, send_period=2, train_period=2, mode=mode,
-                    early_cutoff_time=CUTOFF, train_strategy=strategy,
-                    coord_fraction=0.1, **kw)
-    run_experiment(cfg)
-    return cfg
-
-
-def _window_miou(results_prefix):
+def _window_miou(runs, results_prefix):
     """Mean per-frame mIoU over the trained window (frames after the
     cutoff deploy)."""
     mious = np.load(results_prefix + "_mious.npy")
-    window = mious[(CUTOFF + 1) * FPS:]
+    window = mious[(runs.CUTOFF + 1) * runs.FPS:]
     return float(np.nanmean(window))
 
 
-@pytest.fixture(scope="module")
-def pretrained_miou(drift_clip):
-    vid, gt, root = drift_clip
-    cfg = _run(vid, gt, str(root / "pre") + "/", "pretrained", "full_model")
-    return _window_miou(get_save_dir(cfg, "pretrained_results"))
-
-
-@pytest.fixture(scope="module")
-def trained_runs(drift_clip):
-    """One early-mode experiment per strategy, shared by the improvement
-    and delta-equivalence tests (coord deploys raw — deltas are keyed on
-    raw variable names, and the delta test reuses its artifacts)."""
-    vid, gt, root = drift_clip
-    out = {}
-    for key, strategy, kw in (
-            ("full_model", "full_model", {}),
-            ("coord_desc_auto", "coord_desc_auto", {"fold_deploy": False}),
-            # same strategy over the int8 wire: the delta-consumer gate
-            # below proves the quantized downlink at the METRIC level
-            # (VERDICT r3 next #4), not just byte-roundtrip
-            ("coord_int8", "coord_desc_auto",
-             {"fold_deploy": False, "wire_dtype": "int8"})):
-        d = str(root / ("learn_" + key)) + "/"
-        cfg = _run(vid, gt, d, "early", strategy, **kw)
-        out[key] = (cfg, d)
-    return out
-
-
 @pytest.mark.parametrize("strategy", ["full_model", "coord_desc_auto"])
-def test_distillation_improves_client_miou(trained_runs, pretrained_miou,
-                                           strategy):
-    cfg, _out = trained_runs[strategy]
+def test_distillation_improves_client_miou(trained_runs_session, strategy):
+    runs = trained_runs_session
+    pre_cfg, _ = runs.run("pretrained")
+    pretrained = _window_miou(runs, get_save_dir(pre_cfg,
+                                                 "pretrained_results"))
+    cfg, _out = runs.run(strategy)
     trained = _window_miou(
-        get_save_dir(cfg, "early%d_f%d_results" % (CUTOFF,
-                                                   cfg.send_period)))
+        runs, get_save_dir(cfg, "early%d_f%d_results"
+                           % (runs.CUTOFF, cfg.send_period)))
     print("%s: pretrained %.3f -> trained %.3f"
-          % (strategy, pretrained_miou, trained))
-    assert trained > pretrained_miou + MARGIN[strategy], \
-        (strategy, trained, pretrained_miou)
+          % (strategy, pretrained, trained))
+    assert trained > pretrained + MARGIN[strategy], \
+        (strategy, trained, pretrained)
 
 
 @pytest.mark.parametrize("run_key,agree_min,miou_tol", [
@@ -117,7 +69,7 @@ def test_distillation_improves_client_miou(trained_runs, pretrained_miou,
     # payload 314.9 KB vs fp16's 507.5 KB (-38%)
     ("coord_int8", 0.95, 0.02),
 ])
-def test_delta_client_reaches_deployed_miou(drift_clip, trained_runs,
+def test_delta_client_reaches_deployed_miou(trained_runs_session,
                                             run_key, agree_min, miou_tol):
     """The live downlink path end-to-end at the METRIC level: a client
     that consumed only the wire delta must score the same mIoU as the
@@ -128,17 +80,18 @@ def test_delta_client_reaches_deployed_miou(drift_clip, trained_runs,
     from ams_tpu import configs as exp_configs
     from ams_tpu.runtime.network import SemanticNetwork
 
-    vid, gt, root = drift_clip
+    runs = trained_runs_session
+    vid, gt = runs.clip
     strategy = "coord_desc_auto"
-    cfg, out = trained_runs[run_key]
-    label = "early%d_f%d" % (CUTOFF, cfg.send_period)
+    cfg, out = runs.run(run_key)
+    label = "early%d_f%d" % (runs.CUTOFF, cfg.send_period)
 
     # get_save_dir appends the video/checkpoint/height tag AFTER the
     # prepend string, so "_final" must be appended to its RESULT — building
     # "label_6_final" as the prepend yields a nonexistent path (which once
     # scored "deployed" at random-init accuracy via the then-silent
     # synthetic fallback; SemanticNetwork now raises on missing paths)
-    deployed = get_save_dir(cfg, "%s_%d" % (label, CUTOFF)) + "_final"
+    deployed = get_save_dir(cfg, "%s_%d" % (label, runs.CUTOFF)) + "_final"
     initial = get_save_dir(cfg, "%s_0" % label) + "_final"
     # the delta written at the cutoff event lands under the PREVIOUS
     # event's save_dir name (reference run.py:316-339 sequencing)
@@ -157,7 +110,7 @@ def test_delta_client_reaches_deployed_miou(drift_clip, trained_runs,
 
     # probe: clip frames from the trained window + their gt labels
     cap = cv2.VideoCapture(vid)
-    start = (CUTOFF + 1) * FPS
+    start = (runs.CUTOFF + 1) * runs.FPS
     mious = {"deployed": [], "delta": []}
     agree = total = 0
     for j in range(start, start + 10):

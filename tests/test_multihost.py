@@ -54,3 +54,11 @@ def test_two_process_rounds_match_single_process(tmp_path):
     assert record["gates"]["losses_dp_sp"]["max_rel_diff"] < 1e-3
     # params inside the bounded-Adam-step envelope
     assert record["gates"]["fp_dp_sp"]["frac_of_bound"] < 1.0
+    # wire-complete gates (VERDICT r4 #6): the selection mask and the
+    # ACTUAL downlink bytes cross the process boundary intact, and the
+    # 2-process payload reconstructs the single-process deployed model
+    assert record["gates"]["mask_mv"]["bitwise_equal"] is True
+    assert record["gates"]["payload_mv"]["byte_equal"] is True
+    assert record["gates"]["payload_mv"]["bytes"] > 1000
+    assert record["gates"]["apply_mv"]["worst_rel_vs_deployed"] < 6e-4
+    assert record["gates"]["mask_dp_sp"]["overlap"] >= 0.995
