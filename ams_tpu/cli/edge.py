@@ -56,6 +56,15 @@ def main(argv=None):
                    help="write the emulation's bandwidth artifact set "
                         "(_bw_uplink/_bw_downlink/_model_update_times/"
                         "_fps_client .npy + _update.txt) for this live run")
+    p.add_argument("--gt_dir", default="",
+                   help="directory of per-frame gt_%%06d.png labels (e.g. "
+                        "write_synthetic_clip gt output): score the local "
+                        "model's predictions against them and report "
+                        "mIoU-over-time — the live analog of the "
+                        "emulation's per-second client metric")
+    p.add_argument("--score_stride", type=int, default=5,
+                   help="with --gt_dir, score every Nth frame (local CPU "
+                        "inference is the edge's budget)")
     p.add_argument("--run_label", default="live")
     a = p.parse_args(argv)
 
@@ -63,6 +72,7 @@ def main(argv=None):
     from ams_tpu.data.buffers import choose_frames
     from ams_tpu.data.video import PrefetchingVideoReader, frame_to_rgb
     from ams_tpu.runtime.live import LiveClient
+    from ams_tpu.utils.metrics import calculate_miou
 
     host, port = a.server.rsplit(":", 1)
     exp_num = exp_configs.video_exp_num(a.input_video)
@@ -111,6 +121,25 @@ def main(argv=None):
     last_uplink_bits = 0
     samples_sent = 0
     sec_t0 = time.time()
+    score_records: list = []  # (frame_idx, miou) vs --gt_dir labels
+
+    def score_vs_gt(pred, idx):
+        import cv2
+        gp = os.path.join(a.gt_dir, "gt_%06d.png" % idx)
+        gt = cv2.imread(gp, cv2.IMREAD_GRAYSCALE)
+        if gt is None:
+            return
+        if gt.shape != pred.shape:
+            gt = cv2.resize(gt, (pred.shape[1], pred.shape[0]),
+                            interpolation=cv2.INTER_NEAREST)
+        # full-id gt -> the experiment's reduced id space (cross_ignore
+        # semantics: unselected classes map through take_array)
+        valid = gt != 255
+        n = client.network.class_count
+        cm = np.zeros((n, n), np.int64)
+        np.add.at(cm, (client.network.take_array[gt[valid]], pred[valid]), 1)
+        score_records.append((idx, float(np.nanmean(
+            calculate_miou(cm, nan=True)))))
 
     def log_new_deltas(stamp):
         nonlocal deltas_logged
@@ -125,7 +154,9 @@ def main(argv=None):
             if frame is None:
                 break
             rgb = frame_to_rgb(frame, size)
-            client.predict(rgb)  # local inference on the current model
+            pred = client.predict(rgb)  # local inference, current model
+            if a.gt_dir and frames_done % a.score_stride == 0:
+                score_vs_gt(pred, frames_done)
             frames_done += 1
             # keep the raw decoded frame too: the compressed uplink encodes
             # 2x-resolution resizes of the ORIGINAL frames (the emulation's
@@ -224,6 +255,17 @@ def main(argv=None):
           % (n_streamed, n_streamed / max(wall, 1e-9),
              client.deltas_applied, client.uplink_bits / 1024,
              client.downlink_bits / 1024))
+    if score_records:
+        sr = np.asarray(score_records, np.float64)
+        first_delta_t = (model_update_times[1]
+                         if len(model_update_times) > 1 else float("inf"))
+        pre = sr[sr[:, 0] < first_delta_t * fps, 1]
+        tail = sr[sr[:, 0] >= (second - 10) * fps, 1]
+        print("gt mIoU: pre-first-delta mean %.4f (%d frames), "
+              "final-10s mean %.4f (%d frames)"
+              % (pre.mean() if len(pre) else float("nan"), len(pre),
+                 tail.mean() if len(tail) else float("nan"), len(tail)),
+              flush=True)
     if a.output_dir:
         os.makedirs(a.output_dir, exist_ok=True)
         base = os.path.join(a.output_dir, "%d_%s_results"
@@ -234,6 +276,9 @@ def main(argv=None):
                 np.asarray(model_update_times))
         np.save(base + "_fps_client.npy", np.asarray(sample_per_period))
         np.save(base + "_wall_fps.npy", np.asarray(wall_fps_per_second))
+        if score_records:
+            np.save(base + "_miou_live.npy",
+                    np.asarray(score_records, np.float64))
         with open(base + "_update.txt", "w") as f:
             # same 5-line format the emulation writes (runtime/server.py:
             # total down bits, total up bits, updates, seconds, samples).

@@ -508,17 +508,26 @@ class LiveServer:
                     (st.memory.height, st.memory.width)))
             else:
                 frames = batch["frames"]
+            t_lab = time.perf_counter()
             labels = self.labeler(frames)
+            t_lab = time.perf_counter() - t_lab
+            # per-phase latency record for operators (and the on-chip
+            # session evidence, tools/live_on_chip.py): low volume — one
+            # line per uplink batch / round
+            print("[live] t=%.0f labeled %d frames in %.2fs"
+                  % (t, len(frames), t_lab), flush=True)
             st.memory.extend(list(frames), list(labels))
             if t - st.last_train_t < st.train_period or not len(st.memory):
                 continue
             st.last_train_t = t
+            t_train = time.perf_counter()
             with self._device_lock:
                 if not st.no_restore:
                     st.network.restore_initial()
                 st.network.train_with_deque(st.memory.frames,
                                             st.memory.labels, st.iters,
                                             st.strategy)
+            t_train = time.perf_counter() - t_train
             names = delta_order(st.strategy,
                                 present=st.network.params.keys())
             # the live loop is a real delta consumer, so coord payloads
@@ -535,11 +544,17 @@ class LiveServer:
             # stays correct across resume (set_restore_target).
             base = (st.network.initial_vars()
                     if st.wire_dtype == "int8d" else None)
+            t_enc = time.perf_counter()
             blob = encode_delta(dict(zip(names, st.network.train_params)),
                                 dict(zip(names, st.network.curr_mask)),
                                 strategy=st.strategy,
                                 wire_dtype=st.wire_dtype,
                                 stats=stats, base=base)
+            t_enc = time.perf_counter() - t_enc
+            print("[live] t=%.0f round %d: train %.2fs encode %.2fs "
+                  "payload %dB (%s/%s)"
+                  % (t, st.rounds + 1, t_train, t_enc, len(blob),
+                     st.strategy, st.wire_dtype), flush=True)
             try:
                 send_msg(conn, b"D", blob)
             except (BrokenPipeError, ConnectionResetError):

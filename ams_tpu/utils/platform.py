@@ -12,9 +12,21 @@ import os
 
 
 def apply_env_platform() -> None:
+    """Latch JAX_PLATFORMS and JAX_COMPILATION_CACHE_DIR past the
+    sitecustomize import: both are read at first jax import only, and the
+    deployment image imports jax at interpreter startup — measured: a CLI
+    run with the cache env var set never created the cache dir and every
+    session recompiled its programs (minutes each over the tunneled TPU).
+    """
     plat = os.environ.get("JAX_PLATFORMS")
-    if not plat:
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not plat and not cache:
         return
     import jax
 
-    jax.config.update("jax_platforms", plat)
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -26,6 +26,15 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The cache env vars above are ALSO latched by the sitecustomize import
+# (same gotcha as JAX_PLATFORMS): without these config updates the cache
+# dir is never created on a fresh host and every lane run recompiles every
+# program (found round 5 — ~/.cache/ams_tpu_jax_cache missing after full
+# lane runs on the new host).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
