@@ -185,10 +185,9 @@ def main(argv=None):
         warm = [r[2] for r in rounds[1:]]
         record["round_train_s_first"] = rounds[0][2]
         record["round_train_s_warm_mean"] = round(sum(warm) / len(warm), 2)
-    m = re.search(r"applied (\d+) delta", edge.stdout)
-    record["deltas_applied"] = int(
-        re.search(r"streamed \d+ frames.*?(\d+) deltas applied",
-                  edge.stdout).group(1)) if m else 0
+    m = re.search(r"streamed \d+ frames.*?(\d+) deltas applied",
+                  edge.stdout)
+    record["deltas_applied"] = int(m.group(1)) if m else 0
     g = re.search(r"gt mIoU: pre-first-delta mean ([\d.nan]+) \((\d+) "
                   r"frames\), final-10s mean ([\d.nan]+)", edge.stdout)
     if g:
